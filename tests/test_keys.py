@@ -1,0 +1,69 @@
+import jax.numpy as jnp
+import numpy as np
+
+from lidog_tpu.core import keys
+
+
+def test_pack_unique_and_order(rng):
+    coords = rng.randint(-4096, 4096, size=(5000, 4)).astype(np.int32)
+    coords[:, 0] = rng.randint(0, 8, size=5000)
+    valid = np.ones(5000, bool)
+    hi, lo = keys.pack(jnp.asarray(coords), jnp.asarray(valid))
+    hi, lo = np.asarray(hi), np.asarray(lo)
+    # Packing is injective: identical key pair <=> identical coords.
+    seen = {}
+    for i in range(5000):
+        k = (hi[i], lo[i])
+        if k in seen:
+            assert np.array_equal(coords[i], coords[seen[k]])
+        seen[k] = i
+
+
+def test_pack_invalid_and_out_of_range():
+    coords = np.array(
+        [[0, 0, 0, 0], [0, 5000, 0, 0], [0, 0, -5000, 0], [-1, 0, 0, 0]],
+        dtype=np.int32,
+    )
+    valid = np.array([False, True, True, True])
+    hi, lo = keys.pack(jnp.asarray(coords), jnp.asarray(valid))
+    assert np.all(np.asarray(hi) == keys.INVALID_KEY)
+
+
+def test_lookup_roundtrip(rng):
+    n = 1000
+    coords = rng.randint(-100, 100, size=(n, 4)).astype(np.int32)
+    coords[:, 0] = rng.randint(0, 4, size=n)
+    coords = np.unique(coords, axis=0)
+    valid = np.ones(len(coords), bool)
+    hi, lo = keys.pack_np(coords, valid)
+    order = np.lexsort((lo, hi))
+    sh, sl = jnp.asarray(hi[order]), jnp.asarray(lo[order])
+
+    # Present queries resolve to their own row.
+    qh, ql = keys.pack(jnp.asarray(coords), jnp.asarray(valid))
+    idx = np.asarray(keys.lookup(sh, sl, qh, ql))
+    assert np.array_equal(np.asarray(sh)[idx], hi)
+    assert np.array_equal(np.asarray(sl)[idx], lo)
+
+    # Absent queries return -1.
+    absent = coords.copy()
+    absent[:, 1] += 1000
+    qh, ql = keys.pack(jnp.asarray(absent), jnp.asarray(valid))
+    idx = np.asarray(keys.lookup(sh, sl, qh, ql))
+    present = set(zip(hi.tolist(), lo.tolist()))
+    expect = np.array(
+        [(h, l) in present for h, l in zip(np.asarray(qh).tolist(), np.asarray(ql).tolist())]
+    )
+    assert np.array_equal(idx >= 0, expect)
+
+
+def test_lookup_invalid_queries():
+    coords = np.zeros((4, 4), np.int32)
+    hi, lo = keys.pack_np(coords, np.ones(4, bool))
+    idx = keys.lookup(
+        jnp.asarray(hi),
+        jnp.asarray(lo),
+        jnp.full((3,), keys.INVALID_KEY),
+        jnp.full((3,), keys.INVALID_KEY),
+    )
+    assert np.all(np.asarray(idx) == -1)
