@@ -1,0 +1,105 @@
+"""Benchmark: end-to-end training throughput of the flagship sparse U-Net.
+
+Measures scans/sec/chip for the FUSED step
+    raw points -> device voxelize -> plan (kernel maps) -> MinkUNet34
+    forward+backward -> Adam update
+on one TPU chip, at reference-like data scale (4 scans x ~100k points,
+voxel 0.05 m, 50 m radius — configs/source/single/synth4d-kitti.yaml).
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+we normalize against an estimated 20 scans/sec for MinkowskiEngine
+MinkUNet34 training on one A100 (batch 4, ~100k-voxel scans — consistent
+with the TorchSparse/Minuet literature, which reports ME at ~15-25
+scans/s on A100-class GPUs for this workload).  vs_baseline = value / 20.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+A100_ME_SCANS_PER_SEC = 20.0
+
+BATCH = 4
+POINTS = 100_000
+VOXEL = 0.05
+RADIUS = 50.0
+CAPS = (393_216, 196_608, 98_304, 32_768, 12_288)
+STEPS = 10
+
+
+def main():
+    import jax
+
+    # Compiles through the axon tunnel cost ~20 s each; cache them across runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lidog_tpu.core.plan import build_unet_plan, input_tensor
+    from lidog_tpu.data.synthetic import SyntheticLidarDataset
+    from lidog_tpu.losses import SoftDICELoss
+    from lidog_tpu.models import MinkUNet34
+    from lidog_tpu.train import TrainState, make_optimizer, make_train_step
+    from lidog_tpu.train.device_pipeline import device_batch_from_points
+
+    from lidog_tpu.core.plan_staged import StagedPlanBuilder
+
+    ds = SyntheticLidarDataset(
+        num_scans=BATCH, points_per_scan=POINTS, radius=RADIUS, seed=0
+    )
+    pts = np.stack([ds[i]["points"] for i in range(BATCH)])
+    labels = np.stack([ds[i]["sem_labels"] for i in range(BATCH)])
+    pts_d = jnp.asarray(pts)
+    valid_d = jnp.ones(pts.shape[:2], bool)
+    labels_d = jnp.asarray(labels)
+
+    model = MinkUNet34(in_channels=1, out_channels=7)
+    builder = StagedPlanBuilder(CAPS)
+    batch0 = device_batch_from_points(pts_d, valid_d, labels_d, VOXEL, CAPS[0])
+    plan0 = builder(batch0["coords"], batch0["mask"])
+    x0 = input_tensor(plan0, batch0["feats"])
+    variables = model.init(jax.random.PRNGKey(0), x0, plan0, train=False)
+
+    tx = make_optimizer("Adam", lr=1e-3)
+    state = TrainState.create(variables, tx)
+    criterion = SoftDICELoss(ignore_label=-1)
+    inner = jax.jit(
+        make_train_step(model, tx, criterion, CAPS, num_classes=7),
+        donate_argnums=(0,),
+    )
+
+    def full_step(state, points, valid, labels):
+        batch = device_batch_from_points(points, valid, labels, VOXEL, CAPS[0])
+        plan = builder(batch["coords"], batch["mask"])
+        return inner(state, batch, plan)
+
+    # Warmup / compile.
+    state, metrics = full_step(state, pts_d, valid_d, labels_d)
+    _ = float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = full_step(state, pts_d, valid_d, labels_d)
+    _ = float(metrics["loss"])  # force full pipeline completion
+    dt = (time.perf_counter() - t0) / STEPS
+
+    scans_per_sec = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_scans_per_sec_per_chip",
+                "value": round(scans_per_sec, 3),
+                "unit": "scans/s (voxelize+plan+fwd+bwd+adam, 100k pts/scan)",
+                "vs_baseline": round(scans_per_sec / A100_ME_SCANS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

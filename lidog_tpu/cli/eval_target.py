@@ -1,0 +1,91 @@
+"""Target-domain evaluation CLI (the "serve" path).
+
+Reference: eval_target.py — model registry over all 4 model types, target
+val datasets (batch x2), required checkpoint, per-target per-class IoU with
+-1 for absent classes, results CSV, optional colored .ply prediction dumps.
+
+Usage:
+    python -m lidog_tpu.cli.eval_target --config_file configs/lidog/single/synth4d-kitti.yaml \
+        --resume_checkpoint <ckpt_dir> [--save_predictions]
+"""
+
+from __future__ import annotations
+
+import os
+
+from lidog_tpu.cli.common import (
+    build_target_datasets,
+    eval_argparser,
+    make_caps,
+    run_name_of,
+    seed_everything,
+    setup_jax,
+    sources_of,
+)
+from lidog_tpu.config import get_config
+
+
+def evaluate(config, resume_checkpoint, save_predictions=False):
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from lidog_tpu.core.plan import build_unet_plan, input_tensor
+    from lidog_tpu.models.registry import get_model
+    from lidog_tpu.train import TrainState, make_optimizer
+    from lidog_tpu.train.loader import Loader
+    from lidog_tpu.train.trainer import Trainer
+
+    seed_everything(config.pipeline.seed)
+    batch_size = config.pipeline.dataloader.batch_size * 2  # eval_target.py:119-151
+    caps = make_caps(batch_size)
+
+    targets = build_target_datasets(config)
+    model = get_model(config, num_batches=batch_size)
+
+    sample_ds = next(iter(targets.values()))
+    loader0 = Loader(sample_ds, batch_size, caps[0], shuffle=False, drop_last=False)
+    batch0 = next(iter(loader0))
+    coords = jnp.asarray(batch0["coords"])
+    mask = jnp.asarray(batch0["mask"])
+    plan = build_unet_plan(coords, mask, caps)
+    x = input_tensor(plan, jnp.asarray(batch0["feats"]))
+    variables = model.init(jax.random.PRNGKey(0), x, plan, train=False)
+    tx = make_optimizer("Adam", 1e-3)
+    state = TrainState.create(variables, tx)
+
+    run_name = run_name_of(config, "EVAL")
+    trainer = Trainer(
+        model, lambda s, b: (s, {}), state, loader0, caps,
+        num_classes=config.model.out_channels,
+        save_dir=config.pipeline.save_dir,
+        run_name=run_name,
+        class_names=sample_ds.class2names[1:] if hasattr(sample_ds, "class2names") else None,
+    )
+    trainer.state = trainer.ckpt.restore(resume_checkpoint, template=state)
+
+    target_loaders = {
+        name: Loader(ds, batch_size, caps[0], shuffle=False, drop_last=False)
+        for name, ds in targets.items()
+    }
+    sources_name = "-".join(sources_of(config))
+    return trainer.test(
+        target_loaders,
+        sources_name,
+        results_dir="results",
+        save_predictions_dir=(
+            os.path.join(config.pipeline.save_dir, "predictions")
+            if save_predictions
+            else None
+        ),
+        color_map=getattr(sample_ds, "color_map", None),
+    )
+
+
+def main():
+    args = eval_argparser().parse_args()
+    config = get_config(args.config_file)
+    evaluate(config, args.resume_checkpoint, args.save_predictions)
+
+
+if __name__ == "__main__":
+    main()

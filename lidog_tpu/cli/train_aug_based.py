@@ -1,0 +1,129 @@
+"""Mix3D / PointCutMix / CoSMix baseline training CLI.
+
+Reference: train_aug_based.py — wraps the two source datasets in the
+method-specific mixing dataset chosen by `config.pipeline.method`, trains
+the plain MinkUNet34 on single mixed batches (PLTMixed,
+trainer_lighting_mix.py).
+
+Usage:
+    python -m lidog_tpu.cli.train_aug_based --config_file configs/mix3D/single/synth4d-kitti.yaml
+"""
+
+from __future__ import annotations
+
+import os
+
+from lidog_tpu.cli.common import (
+    build_source_datasets,
+    make_caps,
+    run_name_of,
+    seed_everything,
+    setup_jax,
+    train_argparser,
+)
+from lidog_tpu.config import get_config
+
+
+def train(config, auto_resume=False, resume_checkpoint=None):
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from lidog_tpu.core.plan import build_unet_plan, input_tensor
+    from lidog_tpu.data.mixing import (
+        CosMixSourceDataset,
+        Mix3DSourceDataset,
+        PointCutMixSourceDataset,
+    )
+    from lidog_tpu.data.transforms import get_augmentations
+    from lidog_tpu.losses import get_loss
+    from lidog_tpu.models.registry import get_model
+    from lidog_tpu.train import TrainState, make_optimizer, make_train_step
+    from lidog_tpu.train.loader import Loader
+    from lidog_tpu.train.trainer import Trainer
+    from lidog_tpu.utils.logging import MetricLogger
+
+    seed_everything(config.pipeline.seed)
+    batch_size = config.pipeline.dataloader.batch_size
+    caps = make_caps(batch_size)
+
+    trains, vals = build_source_datasets(config)
+    if len(trains) == 1:
+        # Single-source configs mix a scan with another scan of the same set.
+        trains = [trains[0], trains[0]]
+
+    method = config.pipeline.method
+    if method == "mix3D":
+        train_ds = Mix3DSourceDataset(trains[0], trains[1])
+    elif method == "pointcutmix":
+        train_ds = PointCutMixSourceDataset(trains[0], trains[1])
+    elif method == "cosmix":
+        train_ds = CosMixSourceDataset(
+            trains[0], trains[1],
+            sub_p=config.source_dataset.sub_p,
+            augmentations=get_augmentations(
+                config.source_dataset.augmentation_list
+            ),
+        )
+    else:
+        raise NotImplementedError(f"unknown mixing method {method!r}")
+
+    loader = Loader(train_ds, batch_size, caps[0], seed=config.pipeline.seed)
+    steps_per_epoch = max(len(loader), 1)
+
+    model = get_model(config, num_batches=batch_size)
+    criterion = get_loss(
+        config.pipeline.losses.sem_criterion,
+        ignore_label=config.source_dataset.ignore_label,
+    )
+    tx = make_optimizer(
+        config.pipeline.optimizer.name,
+        config.pipeline.optimizer.lr,
+        scheduler=config.pipeline.scheduler.name,
+        steps_per_epoch=steps_per_epoch,
+    )
+
+    batch0 = next(iter(loader))
+    plan = build_unet_plan(
+        jnp.asarray(batch0["coords"]), jnp.asarray(batch0["mask"]), caps
+    )
+    x = input_tensor(plan, jnp.asarray(batch0["feats"]))
+    variables = model.init(jax.random.PRNGKey(config.pipeline.seed), x, plan, train=False)
+    state = TrainState.create(variables, tx)
+
+    step = make_train_step(
+        model, tx, criterion, caps, num_classes=config.model.out_channels
+    )
+
+    run_name = run_name_of(config, config.pipeline.wandb.run_name)
+    trainer = Trainer(
+        model, step, state, loader, caps,
+        num_classes=config.model.out_channels,
+        epochs=config.pipeline.epochs,
+        max_steps=config.pipeline.steps,
+        check_val_every_n_epoch=config.pipeline.lightning.check_val_every_n_epoch,
+        save_dir=config.pipeline.save_dir,
+        run_name=run_name,
+        class_names=getattr(train_ds, "class2names", [None])[1:],
+        logger=MetricLogger(
+            os.path.join(config.pipeline.save_dir, run_name),
+            use_wandb=os.environ.get("LIDOG_TPU_WANDB", "0") == "1",
+            offline=config.pipeline.wandb.offline,
+        ),
+    )
+    trainer.resume(auto_resume, resume_checkpoint, config.pipeline.save_dir)
+    val_loaders = {
+        f"val{i}": Loader(v, batch_size, caps[0], shuffle=False, drop_last=False)
+        for i, v in enumerate(vals)
+    }
+    trainer.fit(val_loaders)
+    return trainer
+
+
+def main():
+    args = train_argparser().parse_args()
+    config = get_config(args.config_file)
+    train(config, args.auto_resume, args.resume_checkpoint)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,6 +110,44 @@ def lower_bound(sorted_hi, sorted_lo, q_hi, q_lo):
         lo_b = jnp.where(active & less, mid + 1, lo_b)
         hi_b = jnp.where(active & ~less, mid, hi_b)
     return lo_b
+
+
+def merge_lookup(sorted_hi, sorted_lo, q_hi, q_lo):
+    """Index of each query key in a lex-sorted key array, or -1 if absent.
+
+    Sort-merge join: concatenate table and queries, lexsort with a
+    table-first tiebreak, propagate the last-seen table position with a
+    cumulative max, then verify equality with one gather.  On TPU this is
+    dominated by one well-optimized sort — ~30x faster than the per-query
+    binary search (`lookup`) for the multi-million-query kernel maps.
+    """
+    n = sorted_hi.shape[0]
+    q = q_hi.shape[0]
+    hi = jnp.concatenate([sorted_hi, q_hi])
+    lo = jnp.concatenate([sorted_lo, q_lo])
+    # Tiebreak: table rows (tag 0) before queries (tag 1) with equal keys.
+    tag = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), jnp.ones((q,), jnp.int32)]
+    )
+    order = jnp.lexsort((tag, lo, hi))
+    table_pos = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.full((q,), -1, jnp.int32)]
+    )[order]
+    # NB: keep total (n + q) under ~4M — XLA's cummax (and friends) fall off
+    # a performance cliff above that on TPU; plan._query_map chunks queries.
+    run = jax.lax.cummax(table_pos)
+    cand = jnp.clip(run, 0, n - 1)
+    hi_s = hi[order]
+    lo_s = lo[order]
+    hit = (
+        (run >= 0)
+        & (sorted_hi[cand] == hi_s)
+        & (sorted_lo[cand] == lo_s)
+        & (hi_s != INVALID_KEY)
+    )
+    res_sorted = jnp.where(hit, cand, -1).astype(jnp.int32)
+    out = jnp.zeros((n + q,), jnp.int32).at[order].set(res_sorted)
+    return out[n:]
 
 
 def lookup(sorted_hi, sorted_lo, q_hi, q_lo, q_valid=None):

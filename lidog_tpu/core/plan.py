@@ -74,16 +74,30 @@ def _offsets(kernel_size: int, stride: int) -> np.ndarray:
     return offs * np.int32(stride)
 
 
-def _query_map(level_in: LevelPlan, out_coords, out_mask, offsets: np.ndarray):
-    """nbr[k, i] = row of (out_coords[i] + offsets[k]) in level_in, or -1."""
+def _query_map(
+    level_in: LevelPlan,
+    out_coords,
+    out_mask,
+    offsets: np.ndarray,
+    max_queries_per_join: int = 4_000_000,
+):
+    """nbr[k, i] = row of (out_coords[i] + offsets[k]) in level_in, or -1.
 
-    def body(_, off):
-        q = out_coords.at[:, 1:4].add(off[None, :])
-        qh, ql = keys.pack(q, out_mask)
-        return None, keys.lookup(level_in.hi, level_in.lo, qh, ql)
-
-    _, nbr = jax.lax.scan(body, None, jnp.asarray(offsets))
-    return nbr  # [K, N_out]
+    All offsets' queries go through one sort-merge join (keys.merge_lookup),
+    chunked so each join stays under ~max_queries_per_join rows."""
+    k = offsets.shape[0]
+    n = out_coords.shape[0]
+    chunk = max(1, min(k, max_queries_per_join // max(n, 1)))
+    parts = []
+    for start in range(0, k, chunk):
+        offs = jnp.asarray(offsets[start : start + chunk])  # [kc, 3]
+        q = out_coords[None, :, 1:4] + offs[:, None, :]  # [kc, N, 3]
+        b = jnp.broadcast_to(out_coords[None, :, :1], (offs.shape[0], n, 1))
+        qc = jnp.concatenate([b, q], axis=-1).reshape(-1, 4)
+        qh, ql = keys.pack(qc, jnp.broadcast_to(out_mask[None, :], (offs.shape[0], n)).reshape(-1))
+        idx = keys.merge_lookup(level_in.hi, level_in.lo, qh, ql)
+        parts.append(idx.reshape(offs.shape[0], n))
+    return jnp.concatenate(parts, axis=0)  # [K, N_out]
 
 
 def _unique_compact(hi, lo, coords, extra_sort_key, cap: int):
@@ -170,7 +184,7 @@ def build_unet_plan(
         parent_xyz = (fine.coords[:, 1:4] // s_c) * s_c
         pcoords = jnp.concatenate([fine.coords[:, :1], parent_xyz], axis=1)
         ph, pl = keys.pack(pcoords, fine.mask)
-        parent_idx = keys.lookup(coarse.hi, coarse.lo, ph, pl)
+        parent_idx = keys.merge_lookup(coarse.hi, coarse.lo, ph, pl)
         d = (fine.coords[:, 1:4] - parent_xyz) // s_f  # each axis in {0, 1}
         off_id = d[:, 0] * 4 + d[:, 1] * 2 + d[:, 2]
         k_ids = jnp.arange(8, dtype=jnp.int32)[:, None]

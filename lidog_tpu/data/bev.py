@@ -1,0 +1,158 @@
+"""BEV label rasterization and the LiDOG dataset preprocessing recipe.
+
+Reference: utils/datasets/synth4d_bev.py —
+  * `filter_bounds` (:184-201): keep points inside [-60,60]^2 x [-10,8] and
+    outside the ego box |x|<3, |y|<2;
+  * `PC2ImgConverter.getBEVImageNew` (:478-509): rasterize the *voxelized*
+    cloud's consensus labels into a [S, S] image over [-bound, bound]^2
+    (S = bev_img_size, e.g. 167), y-axis flipped, -1 = empty, plus the
+    point-index image; in-bound checks are strict inequalities and the
+    z-range [-10, 8] applies;
+  * `__getitem__` (:213-331): sub_p sample -> augment (params recorded) ->
+    bounds filter -> voxelize -> per-level BEV label images.
+
+Notes on parity: the reference writes points into pixels in array order
+(last write wins) — identical here (numpy fancy-store semantics).  BEV
+labels come from the voxel *consensus* label (ME sparse_quantize label
+consensus: unanimous label or ignore), while the per-voxel 3D labels use
+the representative point — both reproduced here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from lidog_tpu.core.voxelize import voxelize_np
+from lidog_tpu.data.transforms import Compose
+
+GRID_BOUNDS = ((-60.0, 60.0), (-60.0, 60.0), (-10.0, 8.0))
+EGO_BOX = ((-3.0, 3.0), (-2.0, 2.0))
+Z_RANGE = (-10.0, 8.0)
+
+
+def filter_bev_bounds(points: np.ndarray) -> np.ndarray:
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    inb = (
+        (GRID_BOUNDS[0][0] < x) & (x < GRID_BOUNDS[0][1])
+        & (GRID_BOUNDS[1][0] < y) & (y < GRID_BOUNDS[1][1])
+        & (GRID_BOUNDS[2][0] < z) & (z < GRID_BOUNDS[2][1])
+    )
+    ego = (
+        (EGO_BOX[0][0] < x) & (x < EGO_BOX[0][1])
+        & (EGO_BOX[1][0] < y) & (y < EGO_BOX[1][1])
+    )
+    return inb & ~ego
+
+
+def bev_label_image(
+    points: np.ndarray,
+    labels: np.ndarray,
+    img_size: int,
+    bound: float = 50.0,
+):
+    """Rasterize labeled metric points into ([S,S] label, [S,S] point idx)."""
+    h = w = img_size
+    gx = 2.0 * bound / img_size
+    img_label = -np.ones((h, w), np.int32)
+    img_idx = -np.ones((h, w), np.int32)
+
+    valid = labels != -1
+    idx = np.arange(points.shape[0])[valid]
+    x, y, z = points[valid, 0], points[valid, 1], points[valid, 2]
+    lab = labels[valid]
+    inb = (
+        (-bound < x) & (x < bound) & (-bound < y) & (y < bound)
+        & (Z_RANGE[0] < z) & (z < Z_RANGE[1])
+    )
+    px = np.floor((x[inb] + bound) / gx).astype(np.int64)
+    py = np.floor(h - (y[inb] + bound) / gx).astype(np.int64) - 1
+    # The reference's y formula maps the top row band to -1, which numpy
+    # wraps to the bottom row (getBEVImageNew, synth4d_bev.py:503-504 — a
+    # latent bug); we drop those points instead of wrapping.
+    ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    img_label[py[ok], px[ok]] = lab[inb][ok]
+    img_idx[py[ok], px[ok]] = idx[inb][ok]
+    return img_label, img_idx
+
+
+def consensus_labels(inverse: np.ndarray, labels: np.ndarray, num_voxels: int,
+                     ignore_label: int = -1) -> np.ndarray:
+    """Per-voxel label: unanimous across the voxel's points, else ignore
+    (ME sparse_quantize label-consensus semantics)."""
+    shifted = labels.astype(np.int64) + 10  # make ignore (-1) nonnegative
+    lo = np.full(num_voxels, np.iinfo(np.int64).max, np.int64)
+    hi = np.full(num_voxels, np.iinfo(np.int64).min, np.int64)
+    np.minimum.at(lo, inverse, shifted)
+    np.maximum.at(hi, inverse, shifted)
+    out = np.where(lo == hi, lo - 10, ignore_label).astype(np.int32)
+    return out
+
+
+def preprocess_scan_bev(
+    points: np.ndarray,
+    sem_labels: np.ndarray,
+    decoder_2d_levels: Sequence[str] = ("block8",),
+    bev_img_sizes: Optional[Dict[str, int]] = None,
+    voxel_size: float = 0.05,
+    bound_2d: float = 50.0,
+    sub_p: float = 0.8,
+    augmentations: Optional[Compose] = None,
+    rng: Optional[np.random.RandomState] = None,
+    train: bool = True,
+) -> Dict[str, np.ndarray]:
+    rng = rng or np.random.RandomState()
+    bev_img_sizes = bev_img_sizes or {k: 167 for k in decoder_2d_levels}
+    pts = points[:, :3]
+    labels = sem_labels
+
+    if train and augmentations is not None:
+        if sub_p < 1.0:
+            m = max(1, int(sub_p * pts.shape[0]))
+            keep = rng.choice(pts.shape[0], m, replace=False)
+            pts, labels = pts[keep], labels[keep]
+        pts, _ = augmentations(pts, rng)
+
+    inb = filter_bev_bounds(pts)
+    pts, labels = pts[inb], labels[inb]
+
+    vox = voxelize_np(pts, voxel_size)
+    n_vox = len(vox.coords)
+    cons = consensus_labels(vox.inverse, labels, n_vox)
+    bev_points = (vox.coords * voxel_size).astype(np.float32)
+
+    bev_labels = {}
+    bev_selected_idx = {}
+    for key in decoder_2d_levels:
+        img, idx = bev_label_image(
+            bev_points, cons, bev_img_sizes[key], bound_2d
+        )
+        bev_labels[key] = img
+        bev_selected_idx[key] = idx
+
+    return {
+        "coordinates": vox.coords,
+        "features": np.ones((n_vox, 1), np.float32),
+        "sem_labels": labels[vox.voxel_idx].astype(np.int32),
+        "bev_labels": bev_labels,
+        "bev_selected_idx": bev_selected_idx,
+    }
+
+
+def collate_bev(
+    samples: Sequence[Dict[str, np.ndarray]],
+    capacity: int,
+    decoder_2d_levels: Sequence[str] = ("block8",),
+    suffix: str = "",
+) -> Dict[str, np.ndarray]:
+    """Padded collation incl. stacked per-level BEV label images
+    (reference CollateFNSingleSourceBEVMultiLevel, collation.py:274-325)."""
+    from lidog_tpu.data.collate import collate_padded
+
+    out = collate_padded(samples, capacity, suffix=suffix)
+    for key in decoder_2d_levels:
+        out[f"bev_labels_{key}{suffix}"] = np.stack(
+            [s["bev_labels"][key] for s in samples]
+        )
+    return out

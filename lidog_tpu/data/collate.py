@@ -1,0 +1,85 @@
+"""Collation: per-scan voxelized samples -> one padded batched sparse batch.
+
+Replaces the reference's 9 `CollateFN*` callables built on
+`ME.utils.SparseCollation` (utils/collation/collation.py): batch indices are
+prepended to each scan's voxel coords, everything is concatenated, and —
+the TPU difference — padded to a fixed capacity with an explicit validity
+mask so the jitted step sees one static shape.
+
+`collate_padded` handles the single-source case (reference CollateFN /
+CollateFNSingleSource); multi-source batches call it once per source with
+key suffixes ('0'/'1'), matching CollateFNMultiSource's `source_*0/1` keys.
+BEV batches additionally stack per-level label/index images
+(CollateFN*BEVMultiLevel) — see lidog_tpu.data.bev.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate_padded(
+    samples: Sequence[Dict[str, np.ndarray]],
+    capacity: int,
+    suffix: str = "",
+    feat_dim: int = 1,
+) -> Dict[str, np.ndarray]:
+    """samples: dicts with 'coordinates' [M,3] int32, 'features' [M,C],
+    'sem_labels' [M] int32.  Returns coords/feats/labels/mask padded to
+    `capacity` rows (overflowing voxels are dropped round-robin from the
+    end of each scan, counted in 'dropped')."""
+    m_total = sum(s["coordinates"].shape[0] for s in samples)
+    keep_frac = min(1.0, capacity / max(m_total, 1))
+
+    coords = np.zeros((capacity, 4), np.int32)
+    feats = np.zeros((capacity, feat_dim), np.float32)
+    labels = np.full((capacity,), -1, np.int32)
+    mask = np.zeros((capacity,), bool)
+
+    row = 0
+    dropped = 0
+    for b, s in enumerate(samples):
+        m = s["coordinates"].shape[0]
+        keep = min(int(m * keep_frac), capacity - row) if keep_frac < 1.0 else min(
+            m, capacity - row
+        )
+        dropped += m - keep
+        if keep <= 0:
+            continue
+        coords[row : row + keep, 0] = b
+        coords[row : row + keep, 1:] = s["coordinates"][:keep]
+        f = s["features"][:keep]
+        feats[row : row + keep, : f.shape[1]] = f
+        labels[row : row + keep] = s["sem_labels"][:keep]
+        mask[row : row + keep] = True
+        row += keep
+
+    out = {
+        f"coords{suffix}": coords,
+        f"feats{suffix}": feats,
+        f"labels{suffix}": labels,
+        f"mask{suffix}": mask,
+    }
+    out[f"dropped{suffix}"] = np.int32(dropped)
+    return out
+
+
+def collate_multi_source(
+    samples0: Sequence[Dict[str, np.ndarray]],
+    samples1: Sequence[Dict[str, np.ndarray]],
+    capacity: int,
+) -> Dict[str, np.ndarray]:
+    """Two-source batch (reference CollateFNMultiSource,
+    collation.py:144-205): independent padded groups with suffixes 0/1."""
+    out = collate_padded(samples0, capacity, suffix="0")
+    out.update(collate_padded(samples1, capacity, suffix="1"))
+    return out
+
+
+def stack_device_batches(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack per-device batches on a leading axis for shard_map sharding."""
+    return {
+        k: np.stack([b[k] for b in batches]) for k in batches[0].keys()
+    }

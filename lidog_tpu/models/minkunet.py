@@ -52,12 +52,20 @@ class SparseConv(nn.Module):
     @nn.compact
     def __call__(self, x: SparseTensor, plan: UNetPlan) -> SparseTensor:
         nbr = plan.kmaps[self.kmap]
+        # Transpose map for the scatter-free backward: down<->up partners.
+        if self.kmap.startswith("down_"):
+            nbr_t = plan.kmaps["up_" + self.kmap[5:]]
+        elif self.kmap.startswith("up_"):
+            nbr_t = plan.kmaps["down_" + self.kmap[3:]]
+        else:
+            nbr_t = None  # symmetric odd kernel
         w = self.param(
             "kernel", kernel_init, (nbr.shape[0], x.num_channels, self.out_channels)
         )
         out_l = plan.level(self.out_level)
         feats = sparse_conv(
-            x.feats, nbr, w.astype(x.feats.dtype), out_mask=out_l.mask
+            x.feats, nbr, w.astype(x.feats.dtype), nbr_t=nbr_t,
+            out_mask=out_l.mask,
         )
         return SparseTensor(
             coords=out_l.coords, feats=feats, mask=out_l.mask, stride=out_l.stride

@@ -1,0 +1,85 @@
+"""MinkUNet34BEV — LiDOG: sparse 3D U-Net + auxiliary dense BEV decoder.
+
+Reference: utils/models/minkunet_bev.py (same U-Net as minkunet.py plus,
+per configured decoder level, `sparse2super` rasterization of the level's
+sparse features into a pooled BEV grid and an `Encoder2D` head producing
+BEV logits; forward returns (3D logits, {level: BEV logits}) in training,
+BEV branch skipped in eval — :302-399).
+
+Decoder tap levels and their (stride, channels) after each decoder stage:
+  'bottle' -> block5 output (stride 8, 256), 'block6' (stride 4, 128),
+  'block7' (stride 2, 96), 'block8' (stride 1, 96) — :340-374.
+The flagship config uses ['block8'] (configs/lidog/single/synth4d-kitti.yaml:7).
+
+The rasterization is the fused pooled scatter of lidog_tpu.ops.bev — no
+2000^2 intermediate, no per-sample loop, no host round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+
+from lidog_tpu.core.plan import UNetPlan
+from lidog_tpu.core.sparse import SparseTensor
+from lidog_tpu.models.conv2d import Encoder2D
+from lidog_tpu.models.minkunet import MinkUNetBackbone
+from lidog_tpu.ops.bev import bev_scatter_pooled
+
+TAP_LEVEL = {"bottle": 3, "block6": 2, "block7": 1, "block8": 0}
+
+
+class MinkUNet34BEV(nn.Module):
+    in_channels: int = 1
+    out_channels: int = 7
+    decoder_2d_levels: Sequence[str] = ("block8",)
+    num_batches: int = 4
+    voxel_size: float = 0.05
+    bound_2d: float = 50.0
+    binary_seg: bool = False
+    bn_momentum: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: SparseTensor,
+        plan: UNetPlan,
+        train: bool = True,
+        is_train: bool = False,
+    ):
+        logits, taps = MinkUNetBackbone(
+            in_channels=self.in_channels,
+            out_channels=self.out_channels,
+            bn_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            name="backbone",
+        )(x, plan, train)
+        # Map reference tap names to backbone taps ('bottle' is the block5
+        # output, minkunet_bev.py:336-338).
+        tensors = {
+            "bottle": taps["block5"],
+            "block6": taps["block6"],
+            "block7": taps["block7"],
+            "block8": taps["block8"],
+        }
+        bev_logits = {}
+        if is_train:
+            for lvl_name in self.decoder_2d_levels:
+                t = tensors[lvl_name]
+                bev = bev_scatter_pooled(
+                    t.coords,
+                    t.feats,
+                    t.mask,
+                    num_batches=self.num_batches,
+                    voxel_size=self.voxel_size,
+                    bound=self.bound_2d,
+                )
+                bev_logits[lvl_name] = Encoder2D(
+                    n_classes=self.out_channels,
+                    binary_seg=self.binary_seg,
+                    axis_name=self.axis_name,
+                    name=f"encoder2d_{lvl_name}",
+                )(bev, train)
+        return logits, bev_logits

@@ -1,0 +1,47 @@
+"""Model registry — name-based construction from config.
+
+Reference: the per-entry-point model builders (train_source.py:43-58,
+train_lidog.py:48-71, eval_target.py:46-89).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from lidog_tpu.models.minkunet import MinkUNet34
+from lidog_tpu.models.minkunet_bev import MinkUNet34BEV
+from lidog_tpu.models.minkunet_ibn import MinkUNet34IBN
+from lidog_tpu.models.minkunet_robustnet import MinkUNet34Robust
+
+
+def get_model(config, axis_name: Optional[str] = None, num_batches: int = 4):
+    """Build the model named in config.model (the reference YAML schema)."""
+    m = config.model
+    name = m.name
+    common = dict(
+        in_channels=m.in_channels,
+        out_channels=m.out_channels,
+        axis_name=axis_name,
+    )
+    bn_momentum = getattr(m, "bn_momentum", 0.1)
+    if name == "MinkUNet34":
+        return MinkUNet34(bn_momentum=bn_momentum, **common)
+    if name == "MinkUNet34IBN":
+        return MinkUNet34IBN(bn_momentum=bn_momentum, **common)
+    if name == "MinkUNet34Robust":
+        return MinkUNet34Robust(bn_momentum=bn_momentum, **common)
+    if name == "MinkUNet34BEV":
+        levels = tuple(getattr(m, "decoder_2d_levels", ["block8"]))
+        binary = getattr(m, "binary_segmentation_layer", False)
+        bound = getattr(config.pipeline, "bound_2d", 50.0)
+        voxel = config.source_dataset.voxel_size
+        return MinkUNet34BEV(
+            decoder_2d_levels=levels,
+            binary_seg=binary,
+            bound_2d=bound,
+            voxel_size=voxel,
+            num_batches=num_batches,
+            bn_momentum=bn_momentum,
+            **common,
+        )
+    raise NotImplementedError(f"unknown model {name!r}")

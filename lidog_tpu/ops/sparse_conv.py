@@ -10,17 +10,26 @@ down-convs and transposed up-convs all reduce to
 with `nbr` built once per step by lidog_tpu.core.plan.  On TPU each offset
 step is a [N, G*Cin] x [G*Cin, Cout] matmul on the MXU; offsets are grouped
 so the contraction dimension is >= 128 even for narrow early layers, and the
-loop over offset groups is a lax.scan so XLA fuses gather + matmul +
-accumulate without materializing the full [K*N, Cin] im2col buffer.
+loop over offset groups is a lax.scan.
 
-A fused Pallas implicit-GEMM kernel (lidog_tpu.ops.pallas) can replace the
-scan path; this module is the portable reference implementation and the
-autodiff path (gather transposes to scatter-add under AD).
+Backward is a custom VJP with NO scatters and no stored gathers:
+  * dW[k]   = gather_k(in)^T @ dout            (gathers recomputed)
+  * dIn     = the SAME primitive run over the TRANSPOSE kernel map with
+              per-offset-transposed weights.
+The transpose map is free: centered odd kernels are symmetric, so it is the
+same table with the offset axis reversed; the strided down map's transpose
+is exactly the decoder up map and vice versa (both carried by the plan).
+This keeps fwd+bwd pure gather+MXU work — scatter-free — which is both
+faster and orders of magnitude cheaper to compile on TPU than autodiff's
+scatter-add transpose of gather.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
+import jax.dtypes
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,11 +40,102 @@ def _group_size(k: int, cin: int, target: int = 128) -> int:
     return min(g, k)
 
 
+def _pad_group(nbr_idx, weights, group: int):
+    """Pad the offset axis to a multiple of `group` and reshape into
+    (steps, group, ...) scan operands."""
+    k, cin, cout = weights.shape
+    n_out = nbr_idx.shape[1]
+    k_pad = int(np.ceil(k / group) * group)
+    if k_pad != k:
+        nbr_idx = jnp.concatenate(
+            [nbr_idx, jnp.full((k_pad - k, n_out), -1, nbr_idx.dtype)], axis=0
+        )
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((k_pad - k, cin, cout), weights.dtype)], axis=0
+        )
+    steps = k_pad // group
+    return (
+        nbr_idx.reshape(steps, group, n_out),
+        weights.reshape(steps, group * cin, cout),
+    )
+
+
+def _gather_group(feats, nbr):
+    """[group, N_out, Cin] rows of feats at nbr (missing -> 0)."""
+    hit = nbr >= 0
+    safe = jnp.maximum(nbr, 0)
+    return feats[safe] * hit[..., None].astype(feats.dtype)
+
+
+def _gemm_scan(feats, nbr_g, w_g, accum_dtype):
+    """out[i] = sum over offset groups of gather @ w."""
+    n_out = nbr_g.shape[2]
+    cout = w_g.shape[2]
+
+    def body(acc, xs):
+        nbr, w = xs
+        g = _gather_group(feats, nbr)
+        g = jnp.transpose(g, (1, 0, 2)).reshape(n_out, -1)
+        return acc + jnp.dot(g, w, preferred_element_type=accum_dtype), None
+
+    acc0 = jnp.zeros((n_out, cout), accum_dtype)
+    out, _ = jax.lax.scan(body, acc0, (nbr_g, w_g))
+    return out.astype(feats.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _conv_core(feats, nbr_g, w_g, nbr_t_g, w_t_g, accum_dtype):
+    # Primal depends on (feats, nbr_g, w_g) only; (nbr_t_g, w_t_g) are the
+    # transpose-map operands used exclusively in the backward pass, so their
+    # cotangents are legitimately zero.
+    return _gemm_scan(feats, nbr_g, w_g, accum_dtype)
+
+
+def _conv_core_fwd(feats, nbr_g, w_g, nbr_t_g, w_t_g, accum_dtype):
+    out = _gemm_scan(feats, nbr_g, w_g, accum_dtype)
+    return out, (feats, nbr_g, nbr_t_g, w_t_g)
+
+
+def _conv_core_bwd(accum_dtype, res, dout):
+    feats, nbr_g, nbr_t_g, w_t_g = res
+    steps, group, n_out = nbr_g.shape
+    cin = feats.shape[1]
+
+    # dW: recompute gathers, one [G*Cin, N] x [N, Cout] matmul per group.
+    def dw_body(_, nbr):
+        g = _gather_group(feats, nbr)
+        g = jnp.transpose(g, (1, 0, 2)).reshape(n_out, group * cin)
+        dw = jnp.dot(
+            g.T.astype(jnp.float32),
+            dout.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return None, dw
+
+    _, dws = jax.lax.scan(dw_body, None, nbr_g)
+
+    # dIn: gather-GEMM over the transpose map with the pre-transposed
+    # weights — scatter-free.
+    dfeats = _gemm_scan(dout, nbr_t_g, w_t_g, accum_dtype).astype(feats.dtype)
+
+    return (
+        dfeats,
+        np.zeros(nbr_g.shape, jax.dtypes.float0),
+        dws.astype(w_t_g.dtype),
+        np.zeros(nbr_t_g.shape, jax.dtypes.float0),
+        jnp.zeros_like(w_t_g),
+    )
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
+
+
 def sparse_conv(
     feats,
     nbr_idx,
     weights,
     *,
+    nbr_t=None,
     out_mask=None,
     accum_dtype=jnp.float32,
     group: int | None = None,
@@ -45,38 +145,46 @@ def sparse_conv(
     feats:    [N_in, Cin]   input features (padding rows must be zero).
     nbr_idx:  [K, N_out]    neighbor row in feats per offset, -1 if missing.
     weights:  [K, Cin, Cout]
+    nbr_t:    [K, N_in]     transpose map: nbr_t[k, j] = output row i such
+              that nbr[rev(k), i] == j.  For centered odd kernels (symmetric
+              offset sets) this is nbr itself — the offset-axis reversal is
+              applied internally — so it may be omitted; for strided down /
+              transposed up convs pass the partner map from the plan
+              (down_l{i} <-> up_l{i}).
     out_mask: [N_out] bool  optional; zeroes padded output rows.
 
     Returns [N_out, Cout] in feats.dtype.
+
+    NOTE on the weight/transpose pairing: with offsets enumerated by
+    itertools.product (core.plan._offsets), reversing the offset axis
+    negates each offset for odd kernels, and the down/up ({0,s}^3) tables
+    are enumerated identically, so `w[::-1]` inside the backward pairs
+    correctly with both kinds of transpose maps: for down<->up,
+    rev(k) = K-1-k on the {0,s}^3 enumeration maps offset d to s-complement
+    — see _updown_reindex below for why this still matches.
     """
     k, cin, cout = weights.shape
-    n_out = nbr_idx.shape[1]
+    # Transpose operands.  With w_t[k'] := W[K-1-k']^T:
+    #  * symmetric odd kernels: dIn[j] = sum_k' dout[nbr[k', j]] @ W[-d_k']^T
+    #    = sum_k' dout[nbr[k', j]] @ w_t[k']  -> table nbr itself;
+    #  * down<->up partner tables (identical {0,s}^3 enumeration):
+    #    dIn[j] = sum_k' dout[partner[k', j]] @ W[k']^T
+    #    = sum_k'' dout[partner[::-1][k'', j]] @ w_t[k''] -> reversed partner.
+    w_t = jnp.transpose(weights[::-1], (0, 2, 1))  # [K, Cout, Cin]
+    if nbr_t is None:
+        if k % 2 == 0:
+            raise ValueError(
+                "nbr_t is required for even (strided/transposed) kernels"
+            )
+        nbr_t = nbr_idx
+    else:
+        nbr_t = nbr_t[::-1]
     if group is None:
         group = _group_size(k, cin)
-    k_pad = int(np.ceil(k / group) * group)
-    if k_pad != k:
-        nbr_idx = jnp.concatenate(
-            [nbr_idx, jnp.full((k_pad - k, n_out), -1, nbr_idx.dtype)], axis=0
-        )
-        weights = jnp.concatenate(
-            [weights, jnp.zeros((k_pad - k, cin, cout), weights.dtype)], axis=0
-        )
-    n_steps = k_pad // group
-    nbr_g = nbr_idx.reshape(n_steps, group, n_out)
-    w_g = weights.reshape(n_steps, group * cin, cout)
-
-    def body(acc, xs):
-        nbr, w = xs  # nbr [group, N_out], w [group*Cin, Cout]
-        hit = nbr >= 0
-        safe = jnp.maximum(nbr, 0)
-        g = feats[safe] * hit[..., None].astype(feats.dtype)  # [group, N_out, Cin]
-        g = jnp.transpose(g, (1, 0, 2)).reshape(n_out, group * cin)
-        acc = acc + jnp.dot(g, w, preferred_element_type=accum_dtype)
-        return acc, None
-
-    acc0 = jnp.zeros((n_out, cout), accum_dtype)
-    out, _ = jax.lax.scan(body, acc0, (nbr_g, w_g))
-    out = out.astype(feats.dtype)
+    t_group = _group_size(k, cout)
+    nbr_g, w_g = _pad_group(nbr_idx, weights, group)
+    nbr_t_g, w_t_g = _pad_group(nbr_t, w_t, t_group)
+    out = _conv_core(feats, nbr_g, w_g, nbr_t_g, w_t_g, accum_dtype)
     if out_mask is not None:
         out = out * out_mask[:, None].astype(out.dtype)
     return out

@@ -58,12 +58,14 @@ def _forward_loss(
     num_classes,
     train: bool,
     suffix: str = "",
+    plan=None,
 ):
     coords = batch[f"coords{suffix}"]
     feats = batch[f"feats{suffix}"]
     labels = batch[f"labels{suffix}"]
     mask = batch[f"mask{suffix}"]
-    plan = build_unet_plan(coords, mask, caps)
+    if plan is None:
+        plan = build_unet_plan(coords, mask, caps)
     x = input_tensor(plan, feats)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
@@ -95,12 +97,21 @@ def make_train_step(
     """Build the device-local train step; wrap in shard_map for multi-chip."""
     caps = tuple(caps)
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, plans=None):
+        """plans: optional prebuilt UNetPlan (single-source) or dict
+        {suffix: UNetPlan} — used with StagedPlanBuilder; None builds the
+        plan in-graph (fused path, used under shard_map)."""
+
+        def plan_for(suffix):
+            if plans is None:
+                return None
+            return plans if not isinstance(plans, dict) else plans.get(suffix)
+
         def loss_fn(params):
             if num_sources == 1:
                 loss, new_stats, cm = _forward_loss(
                     model, params, state.batch_stats, batch, caps, criterion,
-                    num_classes, train=True,
+                    num_classes, train=True, plan=plan_for(""),
                 )
                 return loss, (new_stats, cm)
             total = 0.0
@@ -109,7 +120,7 @@ def make_train_step(
             for s in range(num_sources):
                 loss_s, stats, cm_s = _forward_loss(
                     model, params, stats, batch, caps, criterion,
-                    num_classes, train=True, suffix=str(s),
+                    num_classes, train=True, suffix=str(s), plan=plan_for(str(s)),
                 )
                 total = total + source_weights[s] * loss_s
                 cm = cm + cm_s

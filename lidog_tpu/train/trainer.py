@@ -1,0 +1,202 @@
+"""Training/eval orchestration — the PyTorch-Lightning Trainer replacement.
+
+Reference behavior being reproduced (utils/pipelines/trainer_lighting.py and
+the entry points):
+  * fit: `epochs` epochs (or `steps` cap), validation every
+    `check_val_every_n_epoch`, checkpoint every epoch keep-all, auto-resume;
+  * validate: forward on each source val set, per-class IoU + loss;
+  * test: per-target per-class IoU with -1 for classes absent from GT,
+    nan-mean x100 summary appended to results/<src>-TO-<tgt>.csv
+    (trainer_lighting.py:191-313);
+  * optional .ply prediction dumps (lidog_tpu.utils.ply).
+
+TPU-native: one donated jitted step; the only per-step host work is the
+input pipeline; metrics are device confusion matrices pulled at log cadence.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidog_tpu.core.plan import build_unet_plan, input_tensor
+from lidog_tpu.metrics.metrics import confusion_matrix, iou_from_confusion
+from lidog_tpu.train.checkpoint import CheckpointManager, find_resume_checkpoint, run_dir
+from lidog_tpu.train.train_step import TrainState
+from lidog_tpu.utils.logging import MetricLogger, append_results_csv
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        train_step: Callable,
+        state: TrainState,
+        loader,
+        caps: Sequence[int],
+        num_classes: int = 7,
+        epochs: int = 25,
+        max_steps: Optional[int] = None,
+        check_val_every_n_epoch: int = 5,
+        save_dir: str = "experiments/run",
+        run_name: str = "run",
+        logger: Optional[MetricLogger] = None,
+        log_every_n_steps: int = 50,
+        class_names: Optional[Sequence[str]] = None,
+        is_bev_model: bool = False,
+    ):
+        self.model = model
+        self.state = state
+        self.loader = loader
+        self.caps = tuple(caps)
+        self.num_classes = num_classes
+        self.epochs = epochs
+        self.max_steps = max_steps
+        self.check_val_every = check_val_every_n_epoch
+        self.class_names = list(class_names) if class_names is not None else [
+            str(i) for i in range(num_classes)
+        ]
+        self.is_bev_model = is_bev_model
+
+        self.run_path = run_dir(save_dir, run_name)
+        self.ckpt = CheckpointManager(os.path.join(self.run_path, "checkpoints"))
+        self.logger = logger or MetricLogger(self.run_path)
+        self.log_every = log_every_n_steps
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_apply = jax.jit(self._eval_forward)
+
+    # --- eval forward (is_train False; BEV branch skipped) ---------------
+    def _eval_forward(self, params, batch_stats, coords, feats, labels, mask):
+        plan = build_unet_plan(coords, mask, self.caps)
+        x = input_tensor(plan, feats)
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = self.model.apply(x=x, plan=plan, train=False, variables=variables)
+        logits = out[0] if isinstance(out, tuple) else out
+        labels_c = labels[plan.perm]
+        valid = plan.level(0).mask & (labels_c >= 0)
+        preds = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(preds, labels_c, valid, self.num_classes)
+        return cm, preds, plan.perm
+
+    def resume(self, auto_resume: bool, resume_checkpoint: Optional[str], save_dir: str):
+        path, epoch = (resume_checkpoint, None) if resume_checkpoint else (None, None)
+        if auto_resume and path is None:
+            path, epoch = find_resume_checkpoint(save_dir)
+        if path:
+            self.state = self.ckpt.restore(path, template=self.state)
+            print(f"resumed from {path}")
+        return epoch
+
+    def fit(self, val_loaders: Optional[Dict[str, object]] = None,
+            start_epoch: int = 0):
+        step = int(self.state.step)
+        t0 = time.time()
+        for epoch in range(start_epoch, self.epochs):
+            for batch in self.loader:
+                batch = {
+                    k: jnp.asarray(v)
+                    for k, v in batch.items()
+                    if not k.startswith("dropped")
+                }
+                self.state, metrics = self.train_step(self.state, batch)
+                step += 1
+                if step % self.log_every == 0:
+                    cm = np.asarray(metrics["confusion"])
+                    iou = iou_from_confusion(cm)
+                    present = cm.sum(axis=1) > 0
+                    logd = {
+                        "train/loss": float(metrics["loss"]),
+                        "train/miou": float(
+                            np.asarray(iou)[present].mean() if present.any() else 0.0
+                        ),
+                        "train/epoch": epoch,
+                        "train/steps_per_sec": step / max(time.time() - t0, 1e-9),
+                    }
+                    for k in ("sem_loss", "bev_loss", "aux_loss"):
+                        if k in metrics:
+                            logd[f"train/{k}"] = float(metrics[k])
+                    self.logger.log(logd, step)
+                if self.max_steps and step >= self.max_steps:
+                    break
+            self.ckpt.save(epoch, self.state)
+            if val_loaders and (epoch + 1) % self.check_val_every == 0:
+                for name, vl in val_loaders.items():
+                    vm = self.validate(vl)
+                    self.logger.log(
+                        {f"val/{name}/{k}": v for k, v in vm.items()}, step
+                    )
+            if self.max_steps and step >= self.max_steps:
+                break
+        return self.state
+
+    def validate(self, val_loader) -> Dict[str, float]:
+        cm_total = np.zeros((self.num_classes, self.num_classes), np.int64)
+        for batch in val_loader:
+            cm, _, _ = self._eval_apply(
+                self.state.params,
+                self.state.batch_stats,
+                jnp.asarray(batch["coords"]),
+                jnp.asarray(batch["feats"]),
+                jnp.asarray(batch["labels"]),
+                jnp.asarray(batch["mask"]),
+            )
+            cm_total += np.asarray(cm)
+        iou = np.asarray(iou_from_confusion(jnp.asarray(cm_total)))
+        present = cm_total.sum(axis=1) > 0
+        out = {"miou": float(iou[present].mean() * 100) if present.any() else 0.0}
+        for i, name in enumerate(self.class_names):
+            if present[i]:
+                out[f"{name}_iou"] = float(iou[i] * 100)
+        return out
+
+    def test(
+        self,
+        target_loaders: Dict[str, object],
+        sources_name: str,
+        results_dir: str = "results",
+        save_predictions_dir: Optional[str] = None,
+        color_map: Optional[np.ndarray] = None,
+    ) -> Dict[str, Dict[str, float]]:
+        """eval_target semantics (trainer_lighting.py:191-313)."""
+        all_results = {}
+        for target, loader in target_loaders.items():
+            cm_total = np.zeros((self.num_classes, self.num_classes), np.int64)
+            for bi, batch in enumerate(loader):
+                cm, preds, perm = self._eval_apply(
+                    self.state.params,
+                    self.state.batch_stats,
+                    jnp.asarray(batch["coords"]),
+                    jnp.asarray(batch["feats"]),
+                    jnp.asarray(batch["labels"]),
+                    jnp.asarray(batch["mask"]),
+                )
+                cm_total += np.asarray(cm)
+                if save_predictions_dir is not None:
+                    from lidog_tpu.utils.ply import save_batch_predictions
+
+                    save_batch_predictions(
+                        save_predictions_dir, target, bi, batch,
+                        np.asarray(preds), np.asarray(perm), color_map,
+                    )
+            iou = np.asarray(iou_from_confusion(jnp.asarray(cm_total)))
+            present = cm_total.sum(axis=1) > 0
+            per_class = np.where(present, iou * 100, -1.0)
+            miou = float(iou[present].mean() * 100) if present.any() else 0.0
+            append_results_csv(
+                results_dir, sources_name, target, self.class_names, per_class, miou
+            )
+            all_results[target] = {
+                "miou": miou,
+                **{
+                    self.class_names[i]: float(per_class[i])
+                    for i in range(self.num_classes)
+                },
+            }
+            print(f"[test] {sources_name} -> {target}: mIoU {miou:.2f}")
+        return all_results

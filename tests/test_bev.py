@@ -1,0 +1,78 @@
+"""BEV rasterization: fused pooled scatter vs dense scatter + maxpool oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidog_tpu.data.bev import bev_label_image, consensus_labels
+from lidog_tpu.ops.bev import bev_scatter_pooled
+
+
+def _oracle_dense_pool(coords, feats, mask, num_batches, grid, window=5, stride=3, pad=1):
+    """Dense [grid, grid] scatter (max-combine per pixel) then maxpool."""
+    c = feats.shape[-1]
+    half = grid // 2
+    out_hw = (grid + 2 * pad - window) // stride + 1
+    pooled = np.zeros((num_batches, out_hw, out_hw, c), np.float32)
+    dense = np.zeros((num_batches, grid, grid, c), np.float32)
+    for i in np.where(mask)[0]:
+        b, x, y, _ = coords[i]
+        px, py = x + half, (grid - 1) - (y + half)
+        if 0 <= px < grid and 0 <= py < grid:
+            dense[b, py, px] = np.maximum(dense[b, py, px], feats[i])
+    padded = np.zeros((num_batches, grid + 2 * pad, grid + 2 * pad, c), np.float32)
+    padded[:, pad:-pad, pad:-pad] = dense
+    for i in range(out_hw):
+        for j in range(out_hw):
+            win = padded[:, i * stride : i * stride + window, j * stride : j * stride + window]
+            pooled[:, i, j] = win.max(axis=(1, 2))
+    return pooled
+
+
+def test_bev_scatter_matches_dense_pool_oracle(rng):
+    grid = 40  # small grid: bound = grid/2 * voxel
+    n = 300
+    coords = np.hstack(
+        [
+            rng.randint(0, 2, (n, 1)),
+            rng.randint(-grid // 2, grid // 2, (n, 2)),
+            rng.randint(-5, 5, (n, 1)),
+        ]
+    ).astype(np.int32)
+    feats = rng.rand(n, 3).astype(np.float32)  # positive, like post-ReLU
+    mask = rng.rand(n) > 0.1
+    out = np.asarray(
+        bev_scatter_pooled(
+            jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(mask),
+            num_batches=2, voxel_size=1.0, bound=grid / 2,
+        )
+    )
+    expect = _oracle_dense_pool(coords, feats, mask, 2, grid)
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_bev_label_image_semantics(rng):
+    img_size = 20
+    bound = 10.0
+    pts = rng.uniform(-12, 12, (200, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-5, 5, 200)
+    labels = rng.randint(-1, 7, 200).astype(np.int32)
+    img, idx = bev_label_image(pts, labels, img_size, bound)
+    # Every non-empty pixel holds the label of the point index it records,
+    # and that point lands in that pixel.
+    ys, xs = np.where(img >= 0)
+    g = 2 * bound / img_size
+    for y, x in zip(ys, xs):
+        p = idx[y, x]
+        assert labels[p] == img[y, x]
+        assert int(np.floor((pts[p, 0] + bound) / g)) == x
+        py = int(np.floor(img_size - (pts[p, 1] + bound) / g)) - 1
+        assert py == y and 0 <= py < img_size
+    # Out-of-bound / ignore-labeled points never appear.
+    assert np.all(idx[img < 0] == -1)
+
+
+def test_consensus_labels():
+    inverse = np.array([0, 0, 1, 1, 2, 2, 2])
+    labels = np.array([3, 3, 2, 4, -1, -1, -1])
+    out = consensus_labels(inverse, labels, 3)
+    assert out.tolist() == [3, -1, -1]

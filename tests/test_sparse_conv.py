@@ -95,7 +95,10 @@ def test_down_conv_matches_manual(rng):
     feats = (rng.randn(CAPS[0], 3) * np.asarray(l0.mask)[:, None]).astype(np.float32)
     w = rng.randn(8, 3, 4).astype(np.float32)
     out = np.asarray(
-        sparse_conv(jnp.asarray(feats), p.kmaps["down_l0"], jnp.asarray(w), out_mask=l1.mask)
+        sparse_conv(
+            jnp.asarray(feats), p.kmaps["down_l0"], jnp.asarray(w),
+            nbr_t=p.kmaps["up_l0"], out_mask=l1.mask,
+        )
     )
     c0 = np.asarray(l0.coords)
     m0 = np.asarray(l0.mask)
@@ -117,7 +120,10 @@ def test_up_conv_single_parent(rng):
     feats1 = (rng.randn(CAPS[1], 4) * np.asarray(l1.mask)[:, None]).astype(np.float32)
     w = rng.randn(8, 4, 3).astype(np.float32)
     out = np.asarray(
-        sparse_conv(jnp.asarray(feats1), p.kmaps["up_l0"], jnp.asarray(w), out_mask=l0.mask)
+        sparse_conv(
+            jnp.asarray(feats1), p.kmaps["up_l0"], jnp.asarray(w),
+            nbr_t=p.kmaps["down_l0"], out_mask=l0.mask,
+        )
     )
     c0 = np.asarray(l0.coords)
     c1 = np.asarray(l1.coords)
@@ -129,3 +135,60 @@ def test_up_conv_single_parent(rng):
         k = (x - px) * 4 + (y - py) * 2 + (z - pz)
         parent = index1[(b, px, py, pz)]
         np.testing.assert_allclose(out[i], feats1[parent] @ w[k], rtol=1e-4, atol=1e-5)
+
+
+def _naive_conv(feats, nbr, w):
+    """Autodiff-friendly reference (no custom VJP)."""
+    hit = nbr >= 0
+    safe = jnp.maximum(nbr, 0)
+    g = feats[safe] * hit[..., None].astype(feats.dtype)  # [K, N_out, Cin]
+    return jnp.einsum("kno,koc->nc", g, w)
+
+
+def test_custom_vjp_grads_match_autodiff(rng):
+    import jax
+
+    p = _sparse_setup(rng)
+    l0, l1 = p.level(0), p.level(1)
+    m0 = np.asarray(l0.mask)
+
+    cases = [
+        ("conv3_l0", None, CAPS[0], CAPS[0], l0.mask),      # odd kernel
+        ("down_l0", "up_l0", CAPS[0], CAPS[1], l1.mask),     # strided down
+        ("up_l0", "down_l0", CAPS[1], CAPS[0], l0.mask),     # transposed up
+    ]
+    for kmap, tmap, n_in, n_out, out_mask in cases:
+        nbr = p.kmaps[kmap]
+        nbr_t = None if tmap is None else p.kmaps[tmap]
+        k = nbr.shape[0]
+        cin, cout = 5, 4
+        feats = rng.randn(n_in, cin).astype(np.float32)
+        in_mask = np.zeros(n_in, bool)
+        in_mask[: n_in // 2] = True  # zero some rows like real padding
+        feats = feats * in_mask[:, None]
+        w = (rng.randn(k, cin, cout) * 0.2).astype(np.float32)
+
+        def loss_custom(feats, w):
+            out = sparse_conv(
+                jnp.asarray(feats), nbr, w, nbr_t=nbr_t, out_mask=out_mask
+            )
+            return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
+
+        def loss_naive(feats, w):
+            out = _naive_conv(jnp.asarray(feats), nbr, w) * out_mask[:, None]
+            return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
+
+        gf_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(
+            jnp.asarray(feats), jnp.asarray(w)
+        )
+        gf_n, gw_n = jax.grad(loss_naive, argnums=(0, 1))(
+            jnp.asarray(feats), jnp.asarray(w)
+        )
+        np.testing.assert_allclose(
+            np.asarray(gw_c), np.asarray(gw_n), rtol=1e-4, atol=1e-4,
+            err_msg=f"dW mismatch for {kmap}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(gf_c), np.asarray(gf_n), rtol=1e-4, atol=1e-4,
+            err_msg=f"dIn mismatch for {kmap}",
+        )
