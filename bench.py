@@ -16,6 +16,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -47,7 +48,7 @@ def main():
     from lidog_tpu.train import TrainState, make_optimizer, make_train_step
     from lidog_tpu.train.device_pipeline import device_batch_from_points
 
-    from lidog_tpu.core.plan_staged import StagedPlanBuilder
+    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
 
     ds = SyntheticLidarDataset(
         num_scans=BATCH, points_per_scan=POINTS, radius=RADIUS, seed=0
@@ -58,8 +59,11 @@ def main():
     valid_d = jnp.ones(pts.shape[:2], bool)
     labels_d = jnp.asarray(labels)
 
-    model = MinkUNet34(in_channels=1, out_channels=7)
-    builder = StagedPlanBuilder(CAPS)
+    dtype = jnp.bfloat16 if os.environ.get(
+        "LIDOG_TPU_BENCH_DTYPE", "bfloat16"
+    ) == "bfloat16" else jnp.float32
+    model = MinkUNet34(in_channels=1, out_channels=7, compute_dtype=dtype)
+    builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
     batch0 = device_batch_from_points(pts_d, valid_d, labels_d, VOXEL, CAPS[0])
     plan0 = builder(batch0["coords"], batch0["mask"])
     x0 = input_tensor(plan0, batch0["feats"])

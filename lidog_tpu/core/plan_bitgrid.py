@@ -1,0 +1,171 @@
+"""Bitgrid plan builder — UNetPlan from dense z-bitmask column tables.
+
+Same output contract as core.plan.build_unet_plan / plan_staged, built with
+zero sorts and zero searches (see core.bitgrid): canonicalization is a
+rank-scatter, the level pyramid is dense bit-compression, and every kernel
+map is one wide gather + popcount per (x, y) column query (all z-offsets of
+a query resolve from a single gathered bitmask row).
+
+Constraints vs. the generic builders (documented deviations):
+  * voxels outside the xy grid (+-grid_half cells) or the z window
+    (+-ZC cells) are dropped and counted in `overflow[0]`;
+  * input coords must be unique (true for voxelizer output).
+Use this builder for production steps; the fused builder remains for
+shard_map dry runs and tiny tests.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidog_tpu.core import bitgrid, keys
+from lidog_tpu.core.plan import NUM_LEVELS, LevelPlan, UNetPlan
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _scatter_rows(pos, values, cap: int):
+    """out[pos[r]] = values[r] with pos<0 or >=cap dropped."""
+    slot = jnp.where((pos >= 0) & (pos < cap), pos, cap)
+    return (
+        jnp.zeros((cap + 1,) + values.shape[1:], values.dtype)
+        .at[slot]
+        .set(values, mode="drop")[:cap]
+    )
+
+
+@jax.jit
+def _total_count(bits):
+    return jnp.sum(
+        jax.lax.population_count(bits.astype(jnp.uint32)).astype(jnp.int32)
+    )
+
+
+class BitPlanBuilder:
+    def __init__(
+        self,
+        caps: Tuple[int, ...],
+        num_batches: int,
+        grid_half: int = 1024,
+        stem_kernel: int = 5,
+        stem_mode: str = "occupancy",  # 'occupancy' (Cin==1) or 'map'
+    ):
+        assert len(caps) == NUM_LEVELS
+        assert grid_half % (1 << NUM_LEVELS) == 0
+        assert stem_mode in ("occupancy", "map")
+        self.caps = tuple(caps)
+        self.num_batches = num_batches
+        self.grid_half = grid_half
+        self.stem_kernel = stem_kernel
+        self.stem_mode = stem_mode
+
+    def _lookup(self, table, level_idx, coords, valid, dx, dy, dzs, cap):
+        idx = bitgrid.lookup_column(
+            table, coords, valid, dx, dy, tuple(dzs),
+            self.grid_half, level_idx,
+        )
+        return jnp.where(idx < cap, idx, -1)
+
+    def _xy_map(self, table, level_idx, out_coords, out_mask, r, cap,
+                z_offsets):
+        """[K, N] table for a hypercube kernel, one jitted call."""
+        xy = tuple(
+            (dx, dy)
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+        )
+        return bitgrid.lookup_map(
+            table, out_coords, out_mask, xy, tuple(z_offsets),
+            self.grid_half, level_idx, cap,
+        )
+
+    def __call__(self, coords, mask) -> UNetPlan:
+        caps = self.caps
+        B, gh = self.num_batches, self.grid_half
+        assert coords.shape[0] == caps[0]
+
+        # --- level 0: rank-scatter canonicalization --------------------
+        bits, dropped0 = bitgrid.build_bits(coords, mask, B, gh, 0)
+        table, _ = bitgrid.column_table(bits)
+        pos = self._lookup(table, 0, coords, mask, 0, 0, (0,), caps[0])[0]
+        coords0 = _scatter_rows(pos, coords, caps[0])
+        perm = _scatter_rows(
+            pos, jnp.arange(caps[0], dtype=jnp.int32), caps[0]
+        )
+        n0 = _total_count(bits)
+        mask0 = jnp.arange(caps[0], dtype=jnp.int32) < jnp.minimum(n0, caps[0])
+        coords0 = jnp.where(mask0[:, None], coords0, 0)
+        h0, l0 = keys.pack(coords0, mask0)
+        levels = [LevelPlan(coords0, mask0, h0, l0, stride=1)]
+        tables = [table]
+        overflow = [dropped0]
+
+        # --- pyramid: dense bit-compression + parent ranks -------------
+        kmaps = {}
+        for i in range(1, NUM_LEVELS):
+            bits = bitgrid.coarsen_bits(bits)
+            table, _ = bitgrid.column_table(bits)
+            prev = levels[i - 1]
+            s = 1 << i
+            parent_xyz = (prev.coords[:, 1:4] // s) * s
+            pcoords = jnp.concatenate([prev.coords[:, :1], parent_xyz], axis=1)
+            parent_idx = self._lookup(
+                table, i, pcoords, prev.mask, 0, 0, (0,), caps[i]
+            )[0]
+            # Up map for the decoder's transposed conv (bucketed by the
+            # fine-in-coarse offset, same contract as core.plan).
+            d = (prev.coords[:, 1:4] - parent_xyz) // (s >> 1)
+            off_id = d[:, 0] * 4 + d[:, 1] * 2 + d[:, 2]
+            k_ids = jnp.arange(8, dtype=jnp.int32)[:, None]
+            kmaps[f"up_l{i-1}"] = jnp.where(
+                (off_id[None, :] == k_ids) & prev.mask[None, :] & (parent_idx >= 0)[None, :],
+                parent_idx[None, :],
+                -1,
+            ).astype(jnp.int32)
+
+            coords_i = _scatter_rows(parent_idx, pcoords, caps[i])
+            n_i = _total_count(bits)
+            mask_i = jnp.arange(caps[i], dtype=jnp.int32) < jnp.minimum(
+                n_i, caps[i]
+            )
+            coords_i = jnp.where(mask_i[:, None], coords_i, 0)
+            h, l = keys.pack(coords_i, mask_i)
+            levels.append(LevelPlan(coords_i, mask_i, h, l, stride=s))
+            tables.append(table)
+            overflow.append(jnp.maximum(n_i - caps[i], 0))
+
+        # --- kernel maps ------------------------------------------------
+        r_stem = self.stem_kernel // 2
+        if self.stem_mode == "occupancy":
+            kmaps["stem_occ"] = bitgrid.stem_occupancy(
+                tables[0], levels[0].coords, levels[0].mask, r_stem,
+                self.grid_half,
+            )
+        else:
+            kmaps["stem"] = self._xy_map(
+                tables[0], 0, levels[0].coords, levels[0].mask, r_stem,
+                caps[0], tuple(range(-r_stem, r_stem + 1)),
+            )
+        for i in range(NUM_LEVELS):
+            kmaps[f"conv3_l{i}"] = self._xy_map(
+                tables[i], i, levels[i].coords, levels[i].mask, 1, caps[i],
+                (-1, 0, 1),
+            )
+        for i in range(NUM_LEVELS - 1):
+            kmaps[f"down_l{i}"] = bitgrid.lookup_map(
+                tables[i], levels[i + 1].coords, levels[i + 1].mask,
+                ((0, 0), (0, 1), (1, 0), (1, 1)), (0, 1),
+                self.grid_half, i, caps[i],
+            )
+
+        return UNetPlan(
+            levels=tuple(levels),
+            perm=perm,
+            kmaps=kmaps,
+            overflow=jnp.stack(overflow),
+        )

@@ -35,10 +35,19 @@ class VoxelizedNP(NamedTuple):
     inverse: np.ndarray  # int64 [P] — point -> voxel index
 
 
-def voxelize_np(points: np.ndarray, voxel_size: float) -> VoxelizedNP:
+def voxelize_np(points: np.ndarray, voxel_size: float,
+                use_native: bool = True) -> VoxelizedNP:
     """Quantize one scan on the host. Returns unique voxel coords (sorted
     lexicographically by (x, y, z)), representative indices, and the inverse
-    map."""
+    map.  Prefers the C++ implementation (native/voxelizer.cpp, ~10x faster
+    on this 1-core host) when built; identical output."""
+    if use_native:
+        from lidog_tpu.utils import native
+
+        out = native.voxelize_native(points, voxel_size)
+        if out is not None:
+            coords, rep, inverse = out
+            return VoxelizedNP(coords, rep.astype(np.int64), inverse.astype(np.int64))
     disc = np.floor(points[:, :3] / voxel_size).astype(np.int32)
     # np.unique on a structured view is slow; use a single int64 key.
     h = (

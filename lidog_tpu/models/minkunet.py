@@ -51,6 +51,24 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: SparseTensor, plan: UNetPlan) -> SparseTensor:
+        if self.kmap == "stem" and "stem_occ" in plan.kmaps:
+            # Occupancy-stem specialization (constant-1 input features):
+            # out = occupancy[N, K] @ W[K, 1, C] — one MXU matmul, no map.
+            occ = plan.kmaps["stem_occ"]
+            w = self.param(
+                "kernel", kernel_init, (occ.shape[1], x.num_channels, self.out_channels)
+            )
+            out_l = plan.level(self.out_level)
+            feats = jnp.dot(
+                occ.astype(x.feats.dtype),
+                w[:, 0, :].astype(x.feats.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.feats.dtype)
+            feats = feats * out_l.mask[:, None].astype(feats.dtype)
+            return SparseTensor(
+                coords=out_l.coords, feats=feats, mask=out_l.mask,
+                stride=out_l.stride,
+            )
         nbr = plan.kmaps[self.kmap]
         # Transpose map for the scatter-free backward: down<->up partners.
         if self.kmap.startswith("down_"):
@@ -168,10 +186,15 @@ class MinkUNetBackbone(nn.Module):
 
     Returns (final logits [N0, out_channels], dict of decoder tensors for the
     BEV branch: 'bottle', 'block6', 'block7', 'block8').
+
+    `compute_dtype=jnp.bfloat16` runs every conv in bf16 with f32
+    accumulation (params stay f32; norms compute in f32); logits are
+    returned in compute dtype and upcast by the losses.
     """
 
     in_channels: int = 1
     out_channels: int = 7
+    compute_dtype: Any = jnp.float32
     init_dim: int = 32
     planes: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)
     layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
@@ -199,6 +222,7 @@ class MinkUNetBackbone(nn.Module):
         ax = self.axis_name
         p = self.planes
         L = self.layers
+        x = x.with_feats(x.feats.astype(self.compute_dtype))
 
         def stage(x, blocks, plan, train):
             for b in blocks:
@@ -264,6 +288,7 @@ class MinkUNet34(nn.Module):
     out_channels: int = 7
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -274,6 +299,7 @@ class MinkUNet34(nn.Module):
             out_channels=self.out_channels,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
+            compute_dtype=self.compute_dtype,
             name="backbone",
         )(x, plan, train)
         if is_seg:

@@ -1,0 +1,140 @@
+// Host-side voxelizer — native twin of lidog_tpu.core.voxelize.voxelize_np.
+//
+// The reference delegates per-scan quantization to MinkowskiEngine's C++
+// sparse_quantize in DataLoader workers (semantickitti.py:146-152,
+// num_workers=10).  This image has ONE host core, so the numpy path
+// (lexsort-based, ~60 ms per 100k-point scan) throttles the input pipeline;
+// this open-addressing-hash implementation runs the same semantics in ~5 ms:
+//   * floor(point / voxel_size) int coords,
+//   * unique voxels sorted lexicographically by (x, y, z),
+//   * representative = smallest original point index in the voxel,
+//   * inverse map point -> voxel row.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Cell {
+  int64_t key;      // packed coords
+  int32_t first;    // smallest original point index
+  int32_t coord[3];
+};
+
+inline int64_t pack(int32_t x, int32_t y, int32_t z) {
+  // 21 bits per axis, offset to non-negative: +-1,048,575 cells.
+  const int64_t off = 1 << 20;
+  return (((int64_t)(x + off)) << 42) | (((int64_t)(y + off)) << 21) |
+         (int64_t)(z + off);
+}
+
+}  // namespace
+
+extern "C" {
+
+// points: [n, 3] float32 (row-major).  Outputs (caller-allocated):
+//   out_coords  [max_out, 3] int32   — sorted unique voxel coords
+//   out_rep     [max_out]    int32   — representative point index per voxel
+//   out_inverse [n]          int32   — point -> voxel row
+// Returns the number of voxels (<= max_out; extra voxels are dropped from
+// the END of the sorted order and their points get inverse -1), or -1 on
+// coordinate overflow.
+int32_t lidog_voxelize(const float* points, int64_t n, float voxel_size,
+                       int32_t* out_coords, int32_t* out_rep,
+                       int32_t* out_inverse, int64_t max_out) {
+  if (n <= 0) return 0;
+  const float inv = 1.0f / voxel_size;
+
+  // Open-addressing hash table.
+  size_t cap = 1;
+  while (cap < (size_t)(n * 2)) cap <<= 1;
+  std::vector<int64_t> keys(cap, -1);
+  std::vector<int32_t> slot_cell(cap, -1);
+  std::vector<Cell> cells;
+  cells.reserve(n / 2 + 16);
+  std::vector<int32_t> point_cell(n);
+
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t c[3];
+    for (int d = 0; d < 3; ++d) {
+      float v = points[i * 3 + d] * inv;
+      int32_t q = (int32_t)std::floor(v);
+      if (q < -(1 << 20) || q >= (1 << 20)) return -1;
+      c[d] = q;
+    }
+    int64_t key = pack(c[0], c[1], c[2]);
+    size_t h = (size_t)(key * 0x9E3779B97F4A7C15ULL) & (cap - 1);
+    while (true) {
+      if (keys[h] == -1) {
+        keys[h] = key;
+        slot_cell[h] = (int32_t)cells.size();
+        Cell cell;
+        cell.key = key;
+        cell.first = (int32_t)i;
+        cell.coord[0] = c[0];
+        cell.coord[1] = c[1];
+        cell.coord[2] = c[2];
+        cells.push_back(cell);
+        point_cell[i] = slot_cell[h];
+        break;
+      }
+      if (keys[h] == key) {
+        point_cell[i] = slot_cell[h];
+        break;
+      }
+      h = (h + 1) & (cap - 1);
+    }
+  }
+
+  // Sort cells lexicographically by coords (== by packed key).
+  const int32_t m = (int32_t)cells.size();
+  std::vector<int32_t> order(m);
+  for (int32_t i = 0; i < m; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return cells[a].key < cells[b].key;
+  });
+  std::vector<int32_t> rank(m);
+  for (int32_t i = 0; i < m; ++i) rank[order[i]] = i;
+
+  const int32_t kept = (int32_t)std::min<int64_t>(m, max_out);
+  for (int32_t r = 0; r < kept; ++r) {
+    const Cell& cell = cells[order[r]];
+    out_coords[r * 3 + 0] = cell.coord[0];
+    out_coords[r * 3 + 1] = cell.coord[1];
+    out_coords[r * 3 + 2] = cell.coord[2];
+    out_rep[r] = cell.first;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t r = rank[point_cell[i]];
+    out_inverse[i] = (r < kept) ? r : -1;
+  }
+  return kept;
+}
+
+// Radius crop + label LUT in one pass (the per-scan preamble of every
+// reference dataset __getitem__).  Returns number of kept points.
+int64_t lidog_crop_map(const float* points, const int32_t* raw_labels,
+                       int64_t n, float radius, const int32_t* lut,
+                       int32_t lut_size, int32_t ignore_label,
+                       float* out_points, int32_t* out_labels) {
+  const float r2 = radius * radius;
+  int64_t k = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float x = points[i * 3], y = points[i * 3 + 1], z = points[i * 3 + 2];
+    if (x * x + y * y + z * z >= r2) continue;
+    out_points[k * 3] = x;
+    out_points[k * 3 + 1] = y;
+    out_points[k * 3 + 2] = z;
+    const int32_t raw = raw_labels[i];
+    out_labels[k] = (raw >= 0 && raw < lut_size) ? lut[raw] : ignore_label;
+    ++k;
+  }
+  return k;
+}
+
+}  // extern "C"

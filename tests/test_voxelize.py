@@ -91,3 +91,36 @@ def test_voxelize_device_invalid_points(rng):
     n = int(out.num_voxels)
     assert n == len(host.coords)
     assert np.all(np.asarray(out.inverse)[50:] == -1)
+
+
+def test_native_voxelizer_matches_numpy(scan):
+    import pytest
+
+    from lidog_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    pts, _ = scan
+    a = voxelize_np(pts, 0.05, use_native=False)
+    b = voxelize_np(pts, 0.05, use_native=True)
+    assert np.array_equal(a.coords, b.coords)
+    assert np.array_equal(a.voxel_idx, b.voxel_idx)
+    assert np.array_equal(a.inverse, b.inverse)
+
+
+def test_native_crop_map(scan):
+    import pytest
+
+    from lidog_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    pts, labels = scan
+    raw = np.abs(labels) % 20
+    lut = np.arange(20, dtype=np.int32) - 1
+    out = native.crop_and_map_native(pts, raw, 30.0, lut)
+    assert out is not None
+    p, l = out
+    keep = (pts ** 2).sum(axis=1) < 30.0 ** 2
+    assert np.allclose(p, pts[keep])
+    assert np.array_equal(l, lut[raw[keep]])
