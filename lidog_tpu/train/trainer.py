@@ -70,6 +70,10 @@ class Trainer:
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_apply = jax.jit(self._eval_forward)
+        # Optional profiling (SURVEY §5: the reference has none; we expose
+        # jax.profiler traces): set LIDOG_TPU_PROFILE_DIR to capture steps
+        # 10-15 of the first epoch.
+        self.profile_dir = os.environ.get("LIDOG_TPU_PROFILE_DIR")
 
     # --- eval forward (is_train False; BEV branch skipped) ---------------
     def _eval_forward(self, params, batch_stats, coords, feats, labels, mask):
@@ -104,8 +108,13 @@ class Trainer:
                     for k, v in batch.items()
                     if not k.startswith("dropped")
                 }
+                if self.profile_dir and step == 10:
+                    jax.profiler.start_trace(self.profile_dir)
                 self.state, metrics = self.train_step(self.state, batch)
                 step += 1
+                if self.profile_dir and step == 15:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
                 if step % self.log_every == 0:
                     cm = np.asarray(metrics["confusion"])
                     iou = iou_from_confusion(cm)
