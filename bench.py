@@ -19,6 +19,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, "/root/repo")
 
@@ -77,6 +78,9 @@ def main():
         donate_argnums=(0,),
     )
 
+    # Staged: voxelize jit + bitgrid plan (its own jitted stages) + step jit.
+    # A single fully-fused graph also compiles (the bitgrid builder has no
+    # sorts) but benches ~7% slower than the staged pipeline.
     def full_step(state, points, valid, labels):
         batch = device_batch_from_points(points, valid, labels, VOXEL, CAPS[0])
         plan = builder(batch["coords"], batch["mask"])

@@ -30,6 +30,16 @@ from lidog_tpu.ops.bev import bev_scatter_pooled
 TAP_LEVEL = {"bottle": 3, "block6": 2, "block7": 1, "block8": 0}
 
 
+def bev_head_size(bound: float, voxel_size: float) -> int:
+    """Output (== BEV label image) resolution of Encoder2D for a given
+    grid: raster 2*bound/voxel -> MaxPool(5,3,1) -> two conv k3 s2 p1.
+    Reference defaults (50 m, 0.05 m): 2000 -> 666 -> 333 -> 167."""
+    grid = int(round(2 * bound / voxel_size))
+    pooled = (grid + 2 * 1 - 5) // 3 + 1
+    down1 = (pooled - 1) // 2 + 1
+    return (down1 - 1) // 2 + 1
+
+
 class MinkUNet34BEV(nn.Module):
     in_channels: int = 1
     out_channels: int = 7
