@@ -38,6 +38,12 @@ def evaluate(config, resume_checkpoint, save_predictions=False):
     seed_everything(config.pipeline.seed)
     batch_size = config.pipeline.dataloader.batch_size * 2  # eval_target.py:119-151
     caps = make_caps(batch_size)
+    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
+
+    plan_builder = BitPlanBuilder(
+        caps, num_batches=batch_size,
+        stem_mode="occupancy" if config.model.in_channels == 1 else "map",
+    )
 
     targets = build_target_datasets(config)
     model = get_model(config, num_batches=batch_size)
@@ -47,7 +53,7 @@ def evaluate(config, resume_checkpoint, save_predictions=False):
     batch0 = next(iter(loader0))
     coords = jnp.asarray(batch0["coords"])
     mask = jnp.asarray(batch0["mask"])
-    plan = build_unet_plan(coords, mask, caps)
+    plan = plan_builder(coords, mask)
     x = input_tensor(plan, jnp.asarray(batch0["feats"]))
     variables = model.init(jax.random.PRNGKey(0), x, plan, train=False)
     tx = make_optimizer("Adam", 1e-3)
@@ -56,6 +62,7 @@ def evaluate(config, resume_checkpoint, save_predictions=False):
     run_name = run_name_of(config, "EVAL")
     trainer = Trainer(
         model, lambda s, b: (s, {}), state, loader0, caps,
+        plan_builder=plan_builder,
         num_classes=config.model.out_channels,
         save_dir=config.pipeline.save_dir,
         run_name=run_name,

@@ -45,6 +45,12 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     seed_everything(config.pipeline.seed)
     batch_size = config.pipeline.dataloader.batch_size
     caps = make_caps(batch_size)
+    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
+
+    plan_builder = BitPlanBuilder(
+        caps, num_batches=batch_size,
+        stem_mode="occupancy" if config.model.in_channels == 1 else "map",
+    )
 
     trains, vals = build_source_datasets(config)
     if len(trains) == 1:
@@ -83,9 +89,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     )
 
     batch0 = next(iter(loader))
-    plan = build_unet_plan(
-        jnp.asarray(batch0["coords"]), jnp.asarray(batch0["mask"]), caps
-    )
+    plan = plan_builder(jnp.asarray(batch0["coords"]), jnp.asarray(batch0["mask"]))
     x = input_tensor(plan, jnp.asarray(batch0["feats"]))
     variables = model.init(jax.random.PRNGKey(config.pipeline.seed), x, plan, train=False)
     state = TrainState.create(variables, tx)
@@ -97,6 +101,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     run_name = run_name_of(config, config.pipeline.wandb.run_name)
     trainer = Trainer(
         model, step, state, loader, caps,
+        plan_builder=plan_builder,
         num_classes=config.model.out_channels,
         epochs=config.pipeline.epochs,
         max_steps=config.pipeline.steps,

@@ -43,6 +43,12 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     num_sources = len(sources)
     batch_size = config.pipeline.dataloader.batch_size
     caps = make_caps(batch_size)
+    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
+
+    plan_builder = BitPlanBuilder(
+        caps, num_batches=batch_size,
+        stem_mode="occupancy" if config.model.in_channels == 1 else "map",
+    )
     levels = list(config.model.decoder_2d_levels)
 
     trains, vals = build_source_datasets(config, bev=True)
@@ -80,7 +86,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     suffix = "0" if multi else ""
     coords = jnp.asarray(batch0[f"coords{suffix}"])
     mask = jnp.asarray(batch0[f"mask{suffix}"])
-    plan = build_unet_plan(coords, mask, caps)
+    plan = plan_builder(coords, mask)
     x = input_tensor(plan, jnp.asarray(batch0[f"feats{suffix}"]))
     variables = model.init(
         jax.random.PRNGKey(config.pipeline.seed), x, plan, train=False, is_train=True
@@ -100,6 +106,8 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     run_name = run_name_of(config, config.pipeline.wandb.run_name)
     trainer = Trainer(
         model, step, state, loader, caps,
+        plan_builder=plan_builder,
+        multi_source=multi,
         num_classes=config.model.out_channels,
         epochs=config.pipeline.epochs,
         max_steps=config.pipeline.steps,

@@ -42,6 +42,12 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     num_sources = len(sources)
     batch_size = config.pipeline.dataloader.batch_size
     caps = make_caps(batch_size)
+    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
+
+    plan_builder = BitPlanBuilder(
+        caps, num_batches=batch_size,
+        stem_mode="occupancy" if config.model.in_channels == 1 else "map",
+    )
 
     trains, vals = build_source_datasets(config)
     if num_sources == 2:
@@ -72,10 +78,9 @@ def train(config, auto_resume=False, resume_checkpoint=None):
 
     batch0 = next(iter(loader))
     suffix = "0" if multi else ""
-    plan = build_unet_plan(
+    plan = plan_builder(
         jnp.asarray(batch0[f"coords{suffix}"]),
         jnp.asarray(batch0[f"mask{suffix}"]),
-        caps,
     )
     x = input_tensor(plan, jnp.asarray(batch0[f"feats{suffix}"]))
     variables = model.init(jax.random.PRNGKey(config.pipeline.seed), x, plan, train=False)
@@ -91,6 +96,8 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     run_name = run_name_of(config, config.pipeline.wandb.run_name)
     trainer = Trainer(
         model, step, state, loader, caps,
+        plan_builder=plan_builder,
+        multi_source=multi,
         num_classes=config.model.out_channels,
         epochs=config.pipeline.epochs,
         max_steps=config.pipeline.steps,

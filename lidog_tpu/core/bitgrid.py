@@ -235,6 +235,53 @@ def stem_occupancy(table_packed, coords, valid, r: int, grid_half: int):
     return jnp.stack(cols, axis=1).astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("r", "grid_half", "cap"))
+def stem_and_conv3(table_packed, coords, valid, r: int, grid_half: int,
+                   cap: int):
+    """One pass over the stem's (2r+1)^2 xy columns producing BOTH the stem
+    occupancy matrix [N, (2r+1)^3] and the conv3 level-0 map [27, N] (whose
+    9 xy columns are a subset of the stem's) — saves re-gathering them."""
+    rng = range(-r, r + 1)
+    g = 2 * grid_half
+    b = coords[:, 0]
+    bz0 = coords[:, 3] + ZC
+    occ_cols = []
+    conv_rows = []
+    for dx in rng:
+        for dy in rng:
+            gx = coords[:, 1] + grid_half + dx
+            gy = coords[:, 2] + grid_half + dy
+            okc = valid & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+            full_row = table_packed[
+                jnp.where(okc, b, 0),
+                jnp.clip(gx, 0, g - 1),
+                jnp.clip(gy, 0, g - 1),
+            ]
+            row = full_row[:, :ZWORDS].astype(jnp.uint32)
+            start = full_row[:, ZWORDS]
+            widx = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+            for dz in rng:
+                bz = bz0 + dz
+                okz = okc & (bz >= 0) & (bz < ZWORDS * 32)
+                bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
+                w = jnp.sum(
+                    jnp.where(widx == (bzc >> 5)[:, None], row, jnp.uint32(0)),
+                    axis=-1, dtype=jnp.uint32,
+                )
+                bit = (w >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
+                occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
+                if abs(dx) <= 1 and abs(dy) <= 1 and abs(dz) <= 1:
+                    rank, exists = _rank_from_row(row, bzc)
+                    idx = jnp.where(okz & exists, start + rank, -1)
+                    conv_rows.append(
+                        ((dx, dy, dz), jnp.where(idx < cap, idx, -1).astype(jnp.int32))
+                    )
+    occ = jnp.stack(occ_cols, axis=1).astype(jnp.float32)
+    conv_rows.sort(key=lambda t: t[0])  # product order, dz fastest
+    conv3 = jnp.stack([rowv for _, rowv in conv_rows], axis=0)
+    return occ, conv3
+
+
 @partial(jax.jit, static_argnames=("grid_half", "level", "z_offsets"))
 def lookup_column(table_packed, coords, valid, dx, dy, z_offsets: tuple,
                   grid_half: int, level: int):

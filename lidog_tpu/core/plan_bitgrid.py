@@ -142,16 +142,22 @@ class BitPlanBuilder:
         # --- kernel maps ------------------------------------------------
         r_stem = self.stem_kernel // 2
         if self.stem_mode == "occupancy":
-            kmaps["stem_occ"] = bitgrid.stem_occupancy(
+            # Fused pass: the conv3 level-0 columns are a subset of the
+            # stem's, so both come from one sweep over the big table.
+            kmaps["stem_occ"], kmaps["conv3_l0"] = bitgrid.stem_and_conv3(
                 tables[0], levels[0].coords, levels[0].mask, r_stem,
-                self.grid_half,
+                self.grid_half, caps[0],
             )
         else:
             kmaps["stem"] = self._xy_map(
                 tables[0], 0, levels[0].coords, levels[0].mask, r_stem,
                 caps[0], tuple(range(-r_stem, r_stem + 1)),
             )
-        for i in range(NUM_LEVELS):
+            kmaps["conv3_l0"] = self._xy_map(
+                tables[0], 0, levels[0].coords, levels[0].mask, 1, caps[0],
+                (-1, 0, 1),
+            )
+        for i in range(1, NUM_LEVELS):
             kmaps[f"conv3_l{i}"] = self._xy_map(
                 tables[i], i, levels[i].coords, levels[i].mask, 1, caps[i],
                 (-1, 0, 1),

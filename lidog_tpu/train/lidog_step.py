@@ -25,10 +25,11 @@ from lidog_tpu.train.train_step import TrainState
 
 def _lidog_forward(
     model, params, batch_stats, batch, caps, sem_criterion, bev_criterion,
-    decoder_levels, num_classes, suffix="",
+    decoder_levels, num_classes, suffix="", plan=None,
 ):
     coords = batch[f"coords{suffix}"]
-    plan = build_unet_plan(coords, batch[f"mask{suffix}"], caps)
+    if plan is None:
+        plan = build_unet_plan(coords, batch[f"mask{suffix}"], caps)
     x = input_tensor(plan, batch[f"feats{suffix}"])
     variables = {"params": params, "batch_stats": batch_stats}
     (logits, bev_logits), updates = model.apply(
@@ -67,9 +68,14 @@ def make_lidog_train_step(
     caps = tuple(caps)
     w = tuple(source_weights)
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, plans=None):
         epoch = state.step // max(steps_per_epoch, 1)
         gate = (epoch >= warmup_epochs).astype(jnp.float32)
+
+        def plan_for(suffix):
+            if plans is None:
+                return None
+            return plans if not isinstance(plans, dict) else plans.get(suffix)
 
         def loss_fn(params):
             stats = state.batch_stats
@@ -78,6 +84,7 @@ def make_lidog_train_step(
                 sem, bev, stats, cm_s = _lidog_forward(
                     model, params, stats, batch, caps, sem_criterion,
                     bev_criterion, decoder_levels, num_classes,
+                    plan=plan_for(""),
                 )
                 total = gate * (w[0] * sem + w[1] * bev) + (1 - gate) * bev
                 cm = cm + cm_s
@@ -89,7 +96,7 @@ def make_lidog_train_step(
                     sem, bev, stats, cm_s = _lidog_forward(
                         model, params, stats, batch, caps, sem_criterion,
                         bev_criterion, decoder_levels, num_classes,
-                        suffix=str(s),
+                        suffix=str(s), plan=plan_for(str(s)),
                     )
                     total = total + w[s] * (gate * sem + bev)
                     cm = cm + cm_s

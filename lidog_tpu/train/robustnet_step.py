@@ -36,14 +36,21 @@ def make_robustnet_train_step(
 ):
     caps = tuple(caps)
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, plans=None):
         epoch = state.step // max(steps_per_epoch, 1)
         gate = (epoch >= cov_stat_epoch).astype(jnp.float32)
 
+        def plan_for(suffix):
+            if plans is None:
+                return None
+            return plans if not isinstance(plans, dict) else plans.get(suffix)
+
         def fwd(params, stats, suffix):
-            plan = build_unet_plan(
-                batch[f"coords{suffix}"], batch[f"mask{suffix}"], caps
-            )
+            plan = plan_for(suffix)
+            if plan is None:
+                plan = build_unet_plan(
+                    batch[f"coords{suffix}"], batch[f"mask{suffix}"], caps
+                )
             x = input_tensor(plan, batch[f"feats{suffix}"])
             (logits, whitened), upd = model.apply(
                 {"params": params, "batch_stats": stats},

@@ -49,6 +49,8 @@ class Trainer:
         log_every_n_steps: int = 50,
         class_names: Optional[Sequence[str]] = None,
         is_bev_model: bool = False,
+        plan_builder=None,
+        multi_source: bool = False,
     ):
         self.model = model
         self.state = state
@@ -62,6 +64,10 @@ class Trainer:
             str(i) for i in range(num_classes)
         ]
         self.is_bev_model = is_bev_model
+        # Staged bitgrid plan builder (production path): the fused in-graph
+        # builder hits XLA sort-compile cliffs at production capacities.
+        self.plan_builder = plan_builder
+        self.multi_source = multi_source
 
         self.run_path = run_dir(save_dir, run_name)
         self.ckpt = CheckpointManager(os.path.join(self.run_path, "checkpoints"))
@@ -75,9 +81,21 @@ class Trainer:
         # 10-15 of the first epoch.
         self.profile_dir = os.environ.get("LIDOG_TPU_PROFILE_DIR")
 
+    def _build_plans(self, batch):
+        if self.plan_builder is None:
+            return None
+        if self.multi_source:
+            return {
+                str(s): self.plan_builder(batch[f"coords{s}"], batch[f"mask{s}"])
+                for s in range(2)
+            }
+        return self.plan_builder(batch["coords"], batch["mask"])
+
     # --- eval forward (is_train False; BEV branch skipped) ---------------
-    def _eval_forward(self, params, batch_stats, coords, feats, labels, mask):
-        plan = build_unet_plan(coords, mask, self.caps)
+    def _eval_forward(self, params, batch_stats, coords, feats, labels, mask,
+                      plan=None):
+        if plan is None:
+            plan = build_unet_plan(coords, mask, self.caps)
         x = input_tensor(plan, feats)
         variables = {"params": params, "batch_stats": batch_stats}
         out = self.model.apply(x=x, plan=plan, train=False, variables=variables)
@@ -110,7 +128,11 @@ class Trainer:
                 }
                 if self.profile_dir and step == 10:
                     jax.profiler.start_trace(self.profile_dir)
-                self.state, metrics = self.train_step(self.state, batch)
+                if self.plan_builder is not None:
+                    plans = self._build_plans(batch)
+                    self.state, metrics = self.train_step(self.state, batch, plans)
+                else:
+                    self.state, metrics = self.train_step(self.state, batch)
                 step += 1
                 if self.profile_dir and step == 15:
                     jax.block_until_ready(metrics["loss"])
@@ -147,6 +169,10 @@ class Trainer:
     def validate(self, val_loader) -> Dict[str, float]:
         cm_total = np.zeros((self.num_classes, self.num_classes), np.int64)
         for batch in val_loader:
+            plan = (
+                self.plan_builder(jnp.asarray(batch["coords"]), jnp.asarray(batch["mask"]))
+                if self.plan_builder is not None else None
+            )
             cm, _, _ = self._eval_apply(
                 self.state.params,
                 self.state.batch_stats,
@@ -154,6 +180,7 @@ class Trainer:
                 jnp.asarray(batch["feats"]),
                 jnp.asarray(batch["labels"]),
                 jnp.asarray(batch["mask"]),
+                plan,
             )
             cm_total += np.asarray(cm)
         iou = np.asarray(iou_from_confusion(jnp.asarray(cm_total)))
@@ -177,6 +204,10 @@ class Trainer:
         for target, loader in target_loaders.items():
             cm_total = np.zeros((self.num_classes, self.num_classes), np.int64)
             for bi, batch in enumerate(loader):
+                plan = (
+                    self.plan_builder(jnp.asarray(batch["coords"]), jnp.asarray(batch["mask"]))
+                    if self.plan_builder is not None else None
+                )
                 cm, preds, perm = self._eval_apply(
                     self.state.params,
                     self.state.batch_stats,
@@ -184,6 +215,7 @@ class Trainer:
                     jnp.asarray(batch["feats"]),
                     jnp.asarray(batch["labels"]),
                     jnp.asarray(batch["mask"]),
+                    plan,
                 )
                 cm_total += np.asarray(cm)
                 if save_predictions_dir is not None:
