@@ -1,0 +1,79 @@
+"""Serving-path benchmark: single-scan inference latency / throughput.
+
+The reference's serve path is eval_target.py (batch x2, fp32, forward
+only). Here: raw points -> device voxelize -> bitgrid plan -> MinkUNet34
+forward (bf16), batch 1, reference scale (100k points).  Prints one JSON
+line (supplementary to bench.py, which reports training throughput).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BATCH = 1
+POINTS = 100_000
+VOXEL = 0.05
+CAPS = (131_072, 65_536, 32_768, 12_288, 4_096)
+STEPS = 20
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lidog_tpu.core.plan import input_tensor
+    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
+    from lidog_tpu.data.synthetic import SyntheticLidarDataset
+    from lidog_tpu.models import MinkUNet34
+    from lidog_tpu.train.device_pipeline import device_batch_from_points
+
+    ds = SyntheticLidarDataset(num_scans=BATCH, points_per_scan=POINTS, radius=50.0)
+    pts = jnp.asarray(np.stack([ds[i]["points"] for i in range(BATCH)]))
+    labels = jnp.asarray(np.stack([ds[i]["sem_labels"] for i in range(BATCH)]))
+    valid = jnp.ones(pts.shape[:2], bool)
+
+    model = MinkUNet34(in_channels=1, out_channels=7, compute_dtype=jnp.bfloat16)
+    builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
+    batch0 = device_batch_from_points(pts, valid, labels, VOXEL, CAPS[0])
+    plan0 = builder(batch0["coords"], batch0["mask"])
+    x0 = input_tensor(plan0, batch0["feats"])
+    variables = model.init(jax.random.PRNGKey(0), x0, plan0, train=False)
+
+    fwd = jax.jit(
+        lambda v, f, pl: jnp.argmax(
+            model.apply(v, input_tensor(pl, f), pl, train=False), axis=-1
+        )
+    )
+
+    def infer(points, valid, labels):
+        b = device_batch_from_points(points, valid, labels, VOXEL, CAPS[0])
+        plan = builder(b["coords"], b["mask"])
+        return fwd(variables, b["feats"], plan)
+
+    preds = infer(pts, valid, labels)
+    _ = int(preds[0])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        preds = infer(pts, valid, labels)
+    _ = int(preds[0])
+    dt = (time.perf_counter() - t0) / STEPS
+    print(
+        json.dumps(
+            {
+                "metric": "infer_latency_ms_per_scan",
+                "value": round(dt * 1000, 1),
+                "unit": "ms (voxelize+plan+fwd argmax, 100k pts, bf16, batch 1)",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
