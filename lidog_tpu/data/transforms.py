@@ -45,6 +45,25 @@ class RandomScale:
         return coords * param[None, :], param
 
 
+class RandomShear:
+    """Reference augmentation.py:47-52 — defined but not registered in
+    get_augmentations (kept for API parity)."""
+
+    def __call__(self, coords, rng, param=None):
+        if param is None:
+            param = np.eye(3) + rng.randn(3, 3)
+        return coords @ param, param
+
+
+class RandomTranslation:
+    """Reference augmentation.py:55-58 — defined but not registered."""
+
+    def __call__(self, coords, rng, param=None):
+        if param is None:
+            param = 0.05 * rng.randn(1, 3)
+        return coords + param, param
+
+
 class Compose:
     """Apply transforms in order; returns (coords, params) so BEV datasets
     can replay identical parameters (reference ComposeBEV)."""
