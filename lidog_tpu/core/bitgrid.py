@@ -276,6 +276,9 @@ def stem_and_conv3(table_packed, coords, valid, r: int, grid_half: int,
                     conv_rows.append(
                         ((dx, dy, dz), jnp.where(idx < cap, idx, -1).astype(jnp.int32))
                     )
+    # NB: emitting this in bf16 looks attractive (halves HBM traffic) but
+    # benches 3.5x SLOWER end-to-end — the narrow-type relayout of the
+    # 125-column stack dominates.  Keep f32.
     occ = jnp.stack(occ_cols, axis=1).astype(jnp.float32)
     conv_rows.sort(key=lambda t: t[0])  # product order, dz fastest
     conv3 = jnp.stack([rowv for _, rowv in conv_rows], axis=0)
