@@ -62,6 +62,18 @@ def setup_jax():
     return jax
 
 
+def make_criterion(name: str, config: Config):
+    """3D criterion with the reference's is_kitti auto-enable: SoftDICE
+    switches to 19-class KITTI label-smoothing semantics when
+    num_classes == 19 (trainer_lighting.py:81-85)."""
+    from lidog_tpu.losses import get_loss
+
+    kw = dict(ignore_label=config.source_dataset.ignore_label)
+    if name == "SoftDICELoss" and config.model.out_channels == 19:
+        kw["is_kitti"] = True
+    return get_loss(name, **kw)
+
+
 def sources_of(config: Config) -> Sequence[str]:
     names = config.source_dataset.name
     return names if isinstance(names, list) else [names]

@@ -68,7 +68,39 @@ def evaluate(config, resume_checkpoint, save_predictions=False):
         run_name=run_name,
         class_names=sample_ds.class2names[1:] if hasattr(sample_ds, "class2names") else None,
     )
-    trainer.state = trainer.ckpt.restore(resume_checkpoint, template=state)
+    if resume_checkpoint.endswith(".ckpt"):
+        # Released reference Lightning checkpoint (eval_target.py:169-174):
+        # torch state_dict -> our param/batch_stats trees.
+        from lidog_tpu.utils.torch_import import load_reference_checkpoint
+
+        me_x_fastest = os.environ.get("LIDOG_TPU_ME_X_FASTEST", "1") == "1"
+        params, stats = load_reference_checkpoint(
+            resume_checkpoint, config.model.name, me_x_fastest=me_x_fastest
+        )
+        import jax.tree_util as jtu
+
+        def _check(tmpl, got, path=""):
+            tk = set(tmpl) if isinstance(tmpl, dict) else None
+            gk = set(got) if isinstance(got, dict) else None
+            if tk != gk:
+                raise ValueError(
+                    f"checkpoint tree mismatch at {path!r}: ours={tk} theirs={gk}"
+                )
+            for k in tk or ():
+                if isinstance(tmpl[k], dict):
+                    _check(tmpl[k], got[k], f"{path}/{k}")
+
+        _check(state.params, params)
+        cast = lambda tmpl, new: jtu.tree_map(
+            lambda t, n: jnp.asarray(n, t.dtype).reshape(t.shape), tmpl, new
+        )
+        trainer.state = state.replace(
+            params=cast(state.params, params),
+            batch_stats=cast(state.batch_stats, stats),
+        )
+        print(f"loaded reference torch checkpoint {resume_checkpoint}")
+    else:
+        trainer.state = trainer.ckpt.restore(resume_checkpoint, template=state)
 
     target_loaders = {
         name: Loader(ds, batch_size, caps[0], shuffle=False, drop_last=False)

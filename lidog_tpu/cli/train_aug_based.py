@@ -16,6 +16,7 @@ import os
 from lidog_tpu.cli.common import (
     build_source_datasets,
     make_caps,
+    make_criterion,
     run_name_of,
     seed_everything,
     setup_jax,
@@ -77,10 +78,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     steps_per_epoch = max(len(loader), 1)
 
     model = get_model(config, num_batches=batch_size)
-    criterion = get_loss(
-        config.pipeline.losses.sem_criterion,
-        ignore_label=config.source_dataset.ignore_label,
-    )
+    criterion = make_criterion(config.pipeline.losses.sem_criterion, config)
     tx = make_optimizer(
         config.pipeline.optimizer.name,
         config.pipeline.optimizer.lr,
@@ -115,12 +113,17 @@ def train(config, auto_resume=False, resume_checkpoint=None):
             offline=config.pipeline.wandb.offline,
         ),
     )
-    trainer.resume(auto_resume, resume_checkpoint, config.pipeline.save_dir)
+    resumed_epoch = trainer.resume(
+        auto_resume, resume_checkpoint, config.pipeline.save_dir
+    )
     val_loaders = {
         f"val{i}": Loader(v, batch_size, caps[0], shuffle=False, drop_last=False)
         for i, v in enumerate(vals)
     }
-    trainer.fit(val_loaders)
+    trainer.fit(
+        val_loaders,
+        start_epoch=(resumed_epoch + 1) if resumed_epoch is not None else 0,
+    )
     return trainer
 
 

@@ -15,6 +15,7 @@ import os
 from lidog_tpu.cli.common import (
     build_source_datasets,
     make_caps,
+    make_criterion,
     run_name_of,
     seed_everything,
     setup_jax,
@@ -66,10 +67,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     steps_per_epoch = max(len(loader), 1)
 
     model = get_model(config, num_batches=batch_size)
-    sem_criterion = get_loss(
-        config.pipeline.losses.sem_criterion,
-        ignore_label=config.source_dataset.ignore_label,
-    )
+    sem_criterion = make_criterion(config.pipeline.losses.sem_criterion, config)
     bev_criterion = get_loss(
         config.pipeline.losses.sem_bev_criterion,
         ignore_label=config.source_dataset.ignore_label,
@@ -125,12 +123,17 @@ def train(config, auto_resume=False, resume_checkpoint=None):
             config=config.to_dict(),
         ),
     )
-    trainer.resume(auto_resume, resume_checkpoint, config.pipeline.save_dir)
+    resumed_epoch = trainer.resume(
+        auto_resume, resume_checkpoint, config.pipeline.save_dir
+    )
     val_loaders = {
         name: Loader(v.base if hasattr(v, "base") else v, batch_size, caps[0], shuffle=False, drop_last=False)
         for name, v in zip(sources, vals)
     }
-    trainer.fit(val_loaders)
+    trainer.fit(
+        val_loaders,
+        start_epoch=(resumed_epoch + 1) if resumed_epoch is not None else 0,
+    )
     return trainer
 
 

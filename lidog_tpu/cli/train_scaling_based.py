@@ -17,6 +17,7 @@ from lidog_tpu.cli.common import (
     build_source_datasets,
     build_target_datasets,
     make_caps,
+    make_criterion,
     run_name_of,
     seed_everything,
     setup_jax,
@@ -75,10 +76,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     steps_per_epoch = max(len(loader), 1)
 
     model = get_model(config, num_batches=batch_size)
-    criterion = get_loss(
-        config.pipeline.losses.sem_criterion,
-        ignore_label=config.source_dataset.ignore_label,
-    )
+    criterion = make_criterion(config.pipeline.losses.sem_criterion, config)
     tx = make_optimizer(
         config.pipeline.optimizer.name,
         config.pipeline.optimizer.lr,
@@ -121,12 +119,17 @@ def train(config, auto_resume=False, resume_checkpoint=None):
             offline=config.pipeline.wandb.offline,
         ),
     )
-    trainer.resume(auto_resume, resume_checkpoint, config.pipeline.save_dir)
+    resumed_epoch = trainer.resume(
+        auto_resume, resume_checkpoint, config.pipeline.save_dir
+    )
     val_loaders = {
         name: Loader(v, batch_size, caps[0], shuffle=False, drop_last=False)
         for name, v in zip(sources, vals)
     }
-    trainer.fit(val_loaders)
+    trainer.fit(
+        val_loaders,
+        start_epoch=(resumed_epoch + 1) if resumed_epoch is not None else 0,
+    )
     return trainer
 
 

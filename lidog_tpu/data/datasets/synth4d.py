@@ -54,9 +54,17 @@ class Synth4DDataset(BaseDataset):
                         frames[j]
                         for j in rng.choice(len(frames), 100, replace=False)
                     ]
-                for fr in frames:
+                # Reference iterates np.sort(split[town]) (synth4d.py:82-83).
+                for fr in sorted(frames):
                     self.items.append((town, fr))
         elif os.path.isdir(os.path.join(dataset_path, layout)):
+            import warnings
+
+            warnings.warn(
+                f"Synth4D split pickle {split_file} missing; falling back to "
+                "a directory walk (ALL frames — train/val protocol differs "
+                "from the reference)."
+            )
             # No split pickles: walk the directory (all frames).
             root = os.path.join(dataset_path, layout)
             for town in sorted(os.listdir(root)):

@@ -76,6 +76,13 @@ class Trainer:
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_apply = jax.jit(self._eval_forward)
+        self._bev_apply = None  # lazily jitted (BEV models only)
+        # Reference dumps BEV label/pred JPEGs every 1000 steps after
+        # epoch 5 (trainer_lighting_bev.py:187-225).
+        self.bev_dump_every = int(
+            os.environ.get("LIDOG_TPU_BEV_DUMP_EVERY", "1000")
+        )
+        self.bev_dump_after_epoch = 5
         # Optional profiling (SURVEY §5: the reference has none; we expose
         # jax.profiler traces): set LIDOG_TPU_PROFILE_DIR to capture steps
         # 10-15 of the first epoch.
@@ -106,21 +113,91 @@ class Trainer:
         cm = confusion_matrix(preds, labels_c, valid, self.num_classes)
         return cm, preds, plan.perm
 
+    def _maybe_dump_bev(self, batch, plans, step: int, epoch: int):
+        """Qualitative BEV JPEGs (trainer_lighting_bev.py:187-225)."""
+        if (
+            not self.is_bev_model
+            or self.bev_dump_every <= 0
+            or epoch < self.bev_dump_after_epoch
+            or step % self.bev_dump_every != 0
+        ):
+            return
+        suffix = "0" if self.multi_source else ""
+        levels = []
+        for k in batch:
+            if not k.startswith("bev_labels_"):
+                continue
+            lvl = k[len("bev_labels_"):]
+            if suffix:
+                if not lvl.endswith(suffix):
+                    continue
+                lvl = lvl[: -len(suffix)]
+            levels.append(lvl)
+        levels = sorted(levels)
+        if not levels:
+            return
+        if self._bev_apply is None:
+            def bev_forward(params, batch_stats, feats, plan):
+                x = input_tensor(plan, feats)
+                out = self.model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, plan, train=False, is_train=True,
+                )
+                return out[1]
+
+            self._bev_apply = jax.jit(bev_forward)
+        plan = plans if not isinstance(plans, dict) else plans[suffix]
+        if plan is None:
+            plan = build_unet_plan(
+                batch[f"coords{suffix}"], batch[f"mask{suffix}"], self.caps
+            )
+        bev = self._bev_apply(
+            self.state.params, self.state.batch_stats,
+            batch[f"feats{suffix}"], plan,
+        )
+        from lidog_tpu.utils.bev_images import save_bev_images
+
+        for level in levels:
+            key = f"bev_labels_{level}{suffix}"
+            if key not in batch or level not in bev:
+                continue
+            save_bev_images(
+                os.path.join(self.run_path, "bev_images", level),
+                step,
+                np.asarray(batch[key]),
+                np.asarray(bev[level], dtype=np.float32),
+            )
+
     def resume(self, auto_resume: bool, resume_checkpoint: Optional[str], save_dir: str):
+        """Restore state; returns the epoch the checkpoint was saved at (or
+        None).  Callers must pass epoch+1 to fit(start_epoch=...) so a
+        resumed run ends at exactly `epochs` total (reference:
+        train_lidog.py:142-208 resumes via fit(ckpt_path=...))."""
         path, epoch = (resume_checkpoint, None) if resume_checkpoint else (None, None)
         if auto_resume and path is None:
             path, epoch = find_resume_checkpoint(save_dir)
         if path:
             self.state = self.ckpt.restore(path, template=self.state)
-            print(f"resumed from {path}")
+            if epoch is None:
+                import re
+
+                m = re.search(r"epoch_(\d+)", os.path.basename(os.path.normpath(path)))
+                epoch = int(m.group(1)) if m else None
+            print(f"resumed from {path} (epoch {epoch})")
         return epoch
 
     def fit(self, val_loaders: Optional[Dict[str, object]] = None,
             start_epoch: int = 0):
         step = int(self.state.step)
+        steps_this_run = 0
+        dropped_this_epoch = 0
         t0 = time.time()
         for epoch in range(start_epoch, self.epochs):
+            dropped_this_epoch = 0
             for batch in self.loader:
+                for k, v in batch.items():
+                    if k.startswith("dropped"):
+                        dropped_this_epoch += int(np.sum(v))
                 batch = {
                     k: jnp.asarray(v)
                     for k, v in batch.items()
@@ -134,6 +211,7 @@ class Trainer:
                 else:
                     self.state, metrics = self.train_step(self.state, batch)
                 step += 1
+                steps_this_run += 1
                 if self.profile_dir and step == 15:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
@@ -147,14 +225,23 @@ class Trainer:
                             np.asarray(iou)[present].mean() if present.any() else 0.0
                         ),
                         "train/epoch": epoch,
-                        "train/steps_per_sec": step / max(time.time() - t0, 1e-9),
+                        "train/steps_per_sec": steps_this_run
+                        / max(time.time() - t0, 1e-9),
                     }
+                    if dropped_this_epoch:
+                        logd["train/dropped_voxels"] = dropped_this_epoch
                     for k in ("sem_loss", "bev_loss", "aux_loss"):
                         if k in metrics:
                             logd[f"train/{k}"] = float(metrics[k])
                     self.logger.log(logd, step)
                 if self.max_steps and step >= self.max_steps:
                     break
+            if dropped_this_epoch:
+                print(
+                    f"[warn] epoch {epoch}: {dropped_this_epoch} voxels "
+                    "dropped by capacity overflow (see data/collate.py; "
+                    "raise caps or batch fewer scans)"
+                )
             self.ckpt.save(epoch, self.state)
             if val_loaders and (epoch + 1) % self.check_val_every == 0:
                 for name, vl in val_loaders.items():
