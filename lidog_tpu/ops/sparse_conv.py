@@ -85,44 +85,69 @@ def _gemm_scan(feats, nbr_g, w_g, accum_dtype):
     return out.astype(feats.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _conv_core(feats, nbr_g, w_g, nbr_t_g, w_t_g, accum_dtype):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _conv_core(feats, nbr_g, w_g, nbr_t_g, w_t_g, accum_dtype, k_orig,
+               fwd_group):
     # Primal depends on (feats, nbr_g, w_g) only; (nbr_t_g, w_t_g) are the
     # transpose-map operands used exclusively in the backward pass, so their
     # cotangents are legitimately zero.
     return _gemm_scan(feats, nbr_g, w_g, accum_dtype)
 
 
-def _conv_core_fwd(feats, nbr_g, w_g, nbr_t_g, w_t_g, accum_dtype):
+def _conv_core_fwd(feats, nbr_g, w_g, nbr_t_g, w_t_g, accum_dtype, k_orig,
+                   fwd_group):
     out = _gemm_scan(feats, nbr_g, w_g, accum_dtype)
-    return out, (feats, nbr_g, nbr_t_g, w_t_g)
+    return out, (feats, nbr_g.shape, nbr_t_g, w_t_g)
 
 
-def _conv_core_bwd(accum_dtype, res, dout):
-    feats, nbr_g, nbr_t_g, w_t_g = res
-    steps, group, n_out = nbr_g.shape
-    cin = feats.shape[1]
+def _conv_core_bwd(accum_dtype, k_orig, fwd_group, res, dout):
+    """One transpose-map gather pass feeds BOTH dIn and dW.
 
-    # dW: recompute gathers, one [G*Cin, N] x [N, Cout] matmul per group.
-    def dw_body(_, nbr):
-        g = _gather_group(feats, nbr)
-        g = jnp.transpose(g, (1, 0, 2)).reshape(n_out, group * cin)
-        dw = jnp.dot(
-            g.T.astype(jnp.float32),
-            dout.astype(jnp.float32),
+    With g_t[k'] := dout[nbr_t_rev[k']] (the reversed-enumeration transpose
+    gather, k' <-> original offset k = K-1-k'):
+      * dIn   = sum_k' g_t[k'] @ W[K-1-k']^T     (= gather-GEMM, as before)
+      * dW[K-1-k'] = feats^T @ g_t[k']           (plain MXU GEMM, no extra
+        gather — this replaces the old recompute-the-forward-gathers pass,
+        cutting the step's gather passes from 3 to 2).
+    """
+    feats, nbr_shape, nbr_t_g, w_t_g = res
+    n_in, cin = feats.shape
+    steps_t, t_group, _ = nbr_t_g.shape
+    cout = dout.shape[1]
+
+    def body(acc, xs):
+        nbr_t, w_t = xs  # [t_group, N_in], [t_group*Cout, Cin]
+        g = _gather_group(dout, nbr_t)  # [t_group, N_in, Cout]
+        gt = jnp.transpose(g, (1, 0, 2)).reshape(n_in, t_group * cout)
+        din = jnp.dot(gt, w_t, preferred_element_type=accum_dtype)
+        dw = jnp.einsum(
+            "nc,gnd->gcd",
+            feats.astype(jnp.float32),
+            g.astype(jnp.float32),
             preferred_element_type=jnp.float32,
+        )  # [t_group, Cin, Cout]
+        return acc + din, dw
+
+    acc0 = jnp.zeros((n_in, cin), accum_dtype)
+    dfeats, dws_rev = jax.lax.scan(
+        body, acc0, (nbr_t_g, w_t_g), unroll=4
+    )
+    dfeats = dfeats.astype(feats.dtype)
+
+    # dws_rev: [steps_t, t_group, Cin, Cout] over the REVERSED offset axis
+    # (incl. t_group padding).  Un-reverse to original order, then repack to
+    # the forward w_g grouped layout [steps_f, fwd_group*Cin, Cout].
+    dW = dws_rev.reshape(steps_t * t_group, cin, cout)[:k_orig][::-1]
+    k_pad_f = int(np.ceil(k_orig / fwd_group) * fwd_group)
+    if k_pad_f != k_orig:
+        dW = jnp.concatenate(
+            [dW, jnp.zeros((k_pad_f - k_orig, cin, cout), dW.dtype)], axis=0
         )
-        return None, dw
-
-    _, dws = jax.lax.scan(dw_body, None, nbr_g, unroll=4)
-
-    # dIn: gather-GEMM over the transpose map with the pre-transposed
-    # weights — scatter-free.
-    dfeats = _gemm_scan(dout, nbr_t_g, w_t_g, accum_dtype).astype(feats.dtype)
+    dws = dW.reshape(k_pad_f // fwd_group, fwd_group * cin, cout)
 
     return (
         dfeats,
-        np.zeros(nbr_g.shape, jax.dtypes.float0),
+        np.zeros(nbr_shape, jax.dtypes.float0),
         dws.astype(w_t_g.dtype),
         np.zeros(nbr_t_g.shape, jax.dtypes.float0),
         jnp.zeros_like(w_t_g),
@@ -188,7 +213,7 @@ def sparse_conv(
     t_group = _group_size(k, cout)
     nbr_g, w_g = _pad_group(nbr_idx, weights, group)
     nbr_t_g, w_t_g = _pad_group(nbr_t, w_t, t_group)
-    out = _conv_core(feats, nbr_g, w_g, nbr_t_g, w_t_g, accum_dtype)
+    out = _conv_core(feats, nbr_g, w_g, nbr_t_g, w_t_g, accum_dtype, k, group)
     if out_mask is not None:
         out = out * out_mask[:, None].astype(out.dtype)
     return out
