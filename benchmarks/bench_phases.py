@@ -61,19 +61,28 @@ def main():
     state, m = inner(state, batch, plan)
     _ = f(m["loss"])
 
-    ITERS = 5
+    ITERS = 10
 
-    def timed(label, fn):
-        fn()  # warm
+    def timed(label, fn, force_fn=None):
+        """fn() dispatches async work; force_fn() (or fn's return) is fetched
+        ONCE after ITERS dispatches so the axon tunnel RTT amortizes."""
+        fn()
+        if force_fn:
+            force_fn()
         t0 = time.perf_counter()
+        out = None
         for _ in range(ITERS):
-            fn()
+            out = fn()
+        if force_fn:
+            force_fn()
+        elif out is not None:
+            f(out)
         dt = (time.perf_counter() - t0) / ITERS
         print(f"{label:28s} {dt*1e3:8.1f} ms")
         return dt
 
-    timed("voxelize", lambda: f(device_batch_from_points(pts, valid, labels, VOXEL, CAPS[0])))
-    timed("plan (bitgrid, all)", lambda: f(builder(batch["coords"], batch["mask"]).kmaps["conv3_l0"]))
+    timed("voxelize", lambda: device_batch_from_points(pts, valid, labels, VOXEL, CAPS[0])["mask"])
+    timed("plan (bitgrid, all)", lambda: builder(batch["coords"], batch["mask"]).kmaps["conv3_l0"])
 
     # plan sub-stages
     from lidog_tpu.core import bitgrid
@@ -81,25 +90,23 @@ def main():
     bits0, _ = bitgrid.build_bits(batch["coords"], batch["mask"], BATCH, 1024, 0)
     table0, _ = bitgrid.column_table(bits0)
     l0 = builder(batch["coords"], batch["mask"]).level(0)
-    timed("  build_bits l0", lambda: f(bitgrid.build_bits(batch["coords"], batch["mask"], BATCH, 1024, 0)[0]))
-    timed("  column_table l0", lambda: f(bitgrid.column_table(bits0)[0]))
-    timed("  coarsen l0->l1", lambda: f(bitgrid.coarsen_bits(bits0)))
-    timed("  stem_and_conv3 (25 cols)", lambda: f(bitgrid.stem_and_conv3(table0, l0.coords, l0.mask, 2, 1024, CAPS[0])[0]))
+    timed("  build_bits l0", lambda: bitgrid.build_bits(batch["coords"], batch["mask"], BATCH, 1024, 0)[0])
+    timed("  column_table l0", lambda: bitgrid.column_table(bits0)[0])
+    timed("  coarsen l0->l1", lambda: bitgrid.coarsen_bits(bits0))
+    timed("  stem_and_conv3 (25 cols)", lambda: bitgrid.stem_and_conv3(table0, l0.coords, l0.mask, 2, 1024, CAPS[0])[0])
     timed(
-        "  conv3 map l1 (9 cols)",
-        lambda: f(
-            bitgrid.lookup_map(
-                table0, l0.coords, l0.mask,
-                ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)),
-                (-1, 0, 1), 1024, 0, CAPS[0],
-            )
+        "  conv3 map @l0-scale (9 cols)",
+        lambda: bitgrid.lookup_map(
+            table0, l0.coords, l0.mask,
+            ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)),
+            (-1, 0, 1), 1024, 0, CAPS[0],
         ),
     )
 
     def step():
         nonlocal state
         state, m = inner(state, batch, plan)
-        return f(m["loss"])
+        return m["loss"]
 
     timed("model fwd+bwd+adam", step)
 
@@ -108,7 +115,7 @@ def main():
         b = device_batch_from_points(pts, valid, labels, VOXEL, CAPS[0])
         p = builder(b["coords"], b["mask"])
         state, m = inner(state, b, p)
-        return f(m["loss"])
+        return m["loss"]
 
     dt = timed("FULL step", full)
     print(f"scans/s: {BATCH/dt:.2f}")

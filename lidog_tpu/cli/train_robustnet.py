@@ -35,6 +35,8 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     from lidog_tpu.train import TrainState, make_optimizer
     from lidog_tpu.train.loader import Loader
     from lidog_tpu.train.robustnet_step import make_robustnet_train_step
+    from lidog_tpu.parallel.mesh import DATA_AXIS, data_mesh
+    from lidog_tpu.train.train_step import make_parallel_train_step
     from lidog_tpu.train.trainer import Trainer
     from lidog_tpu.utils.logging import MetricLogger
 
@@ -43,11 +45,26 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     num_sources = len(sources)
     batch_size = config.pipeline.dataloader.batch_size
     caps = make_caps(batch_size)
+    # Data-parallel over all visible devices (the reference enables DDP +
+    # SyncBN when len(pipeline.gpus) > 1, train_lidog.py:227-231); here a
+    # 1-D data mesh with grads/BN-stats psum over ICI.  batch_size is
+    # per-device, matching the reference's per-GPU batch.
+    n_devices = jax.local_device_count()
+    parallel = n_devices > 1
+    axis_name = DATA_AXIS if parallel else None
     from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
 
     plan_builder = BitPlanBuilder(
         caps, num_batches=batch_size,
+        grid_half=int(os.environ.get("LIDOG_TPU_GRID_HALF", "1024")),
         stem_mode="occupancy" if config.model.in_channels == 1 else "map",
+    )
+    # Under shard_map the plan is built in-graph; LIDOG_TPU_PLAN=generic
+    # swaps in the fused sort-based builder (fast to compile at tiny test
+    # caps; the bitgrid builder is the production default).
+    in_graph_plan = (
+        None if os.environ.get("LIDOG_TPU_PLAN", "bitgrid") == "generic"
+        else plan_builder
     )
 
     trains, vals = build_source_datasets(config)
@@ -60,11 +77,12 @@ def train(config, auto_resume=False, resume_checkpoint=None):
 
     loader = Loader(
         train_ds, batch_size, caps[0], seed=config.pipeline.seed,
+        num_devices=n_devices,
         multi_source=multi,
     )
     steps_per_epoch = max(len(loader), 1)
 
-    model = get_model(config, num_batches=batch_size)
+    model = get_model(config, axis_name=axis_name, num_batches=batch_size)
     criterion = make_criterion(config.pipeline.losses.sem_criterion, config)
     tx = make_optimizer(
         config.pipeline.optimizer.name,
@@ -75,6 +93,11 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     weights = getattr(config.pipeline.losses, "source_weights", [0.5, 0.5])
 
     batch0 = next(iter(loader))
+    if parallel:  # leading axis is the device axis; init from shard 0
+        batch0 = {
+            k: v[0] for k, v in batch0.items()
+            if not k.startswith("dropped")
+        }
     suffix = "0" if multi else ""
     plan = plan_builder(
         jnp.asarray(batch0[f"coords{suffix}"]),
@@ -89,12 +112,18 @@ def train(config, auto_resume=False, resume_checkpoint=None):
         num_classes=config.model.out_channels,
         source_weights=weights, num_sources=num_sources,
         steps_per_epoch=steps_per_epoch,
+        axis_name=axis_name,
+        plan_fn=in_graph_plan if parallel else None,
     )
+    if parallel:
+        step = make_parallel_train_step(data_mesh(), step)
 
     run_name = run_name_of(config, config.pipeline.wandb.run_name)
     trainer = Trainer(
         model, step, state, loader, caps,
-        plan_builder=plan_builder,
+        plan_builder=None if parallel else plan_builder,
+        jit_step=not parallel,
+        parallel=parallel,
         multi_source=multi,
         num_classes=config.model.out_channels,
         epochs=config.pipeline.epochs,

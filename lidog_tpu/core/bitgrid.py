@@ -185,54 +185,40 @@ def lookup_map(table_packed, coords, valid, xy_offsets: tuple,
                z_offsets: tuple, grid_half: int, level: int, cap: int):
     """Full kernel map in one jitted call: [len(xy)*len(z), N] int32.
 
-    Row order is (dx, dy, dz) with dz fastest — core.plan._offsets order."""
-    rows = []
-    for dx, dy in xy_offsets:
-        idx = lookup_column(
-            table_packed, coords, valid, dx, dy, z_offsets, grid_half, level
-        )
-        rows.append(jnp.where(idx < cap, idx, -1))
-    return jnp.concatenate(rows, axis=0)
-
-
-@partial(jax.jit, static_argnames=("r", "grid_half"))
-def stem_occupancy(table_packed, coords, valid, r: int, grid_half: int):
-    """[N, (2r+1)^3] occupancy (0/1 float32) of each voxel's neighborhood.
-
-    With constant-1 input features (reference: use_intensity off, features
-    all ones — semantickitti.py:115-117), the k=2r+1 stem conv is exactly
-    `occupancy @ W[:, 0, :]` — one MXU matmul, no kernel map needed."""
-    cols = []
-    rng = range(-r, r + 1)
-    g = (2 * grid_half)
+    Row order is (dx, dy, dz) with dz fastest — core.plan._offsets order.
+    All xy columns are fetched with ONE concatenated [n_xy*N]-row gather
+    (a single big gather pipelines ~13% better than n_xy sequential ones
+    on v5e; see benchmarks/micro/micro_conv_variants.py)."""
+    g = (2 * grid_half) >> level
     n = coords.shape[0]
     b = coords[:, 0]
-    bz0 = coords[:, 3] + ZC
-    for dx in rng:
-        for dy in rng:
-            gx = coords[:, 1] + grid_half + dx
-            gy = coords[:, 2] + grid_half + dy
-            okc = valid & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-            # Gather the FULL packed row, slice afterwards: a trailing
-            # basic slice fused into the gather lowers catastrophically
-            # (~100x) on TPU.
-            row = table_packed[
-                jnp.where(okc, b, 0),
-                jnp.clip(gx, 0, g - 1),
-                jnp.clip(gy, 0, g - 1),
-            ][:, :ZWORDS].astype(jnp.uint32)
-            widx = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-            for dz in rng:
-                bz = bz0 + dz
-                okz = okc & (bz >= 0) & (bz < ZWORDS * 32)
-                bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
-                w = jnp.sum(
-                    jnp.where(widx == (bzc >> 5)[:, None], row, jnp.uint32(0)),
-                    axis=-1, dtype=jnp.uint32,
-                )
-                bit = (w >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
-                cols.append(jnp.where(okz, bit, jnp.uint32(0)))
-    return jnp.stack(cols, axis=1).astype(jnp.float32)
+    gx0 = (coords[:, 1] >> level) + (grid_half >> level)
+    gy0 = (coords[:, 2] >> level) + (grid_half >> level)
+    bz0 = (coords[:, 3] >> level) + ZC
+
+    dxs = jnp.asarray(np.array([d[0] for d in xy_offsets], np.int32))
+    dys = jnp.asarray(np.array([d[1] for d in xy_offsets], np.int32))
+    gx = gx0[None, :] + dxs[:, None]  # [n_xy, N]
+    gy = gy0[None, :] + dys[:, None]
+    okc = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+    rows = table_packed[
+        jnp.where(okc, jnp.broadcast_to(b[None, :], gx.shape), 0).reshape(-1),
+        jnp.clip(gx, 0, g - 1).reshape(-1),
+        jnp.clip(gy, 0, g - 1).reshape(-1),
+    ]  # [n_xy*N, ZWORDS+2] — ONE gather
+    bits_u = rows[:, :ZWORDS].astype(jnp.uint32).reshape(len(xy_offsets), n, ZWORDS)
+    start = rows[:, ZWORDS].reshape(len(xy_offsets), n)
+    outs = []
+    for ci in range(len(xy_offsets)):
+        for dz in z_offsets:
+            bz = bz0 + dz
+            okz = okc[ci] & (bz >= 0) & (bz < ZWORDS * 32)
+            rank, exists = _rank_from_row(
+                bits_u[ci], jnp.clip(bz, 0, ZWORDS * 32 - 1)
+            )
+            idx = jnp.where(okz & exists, start[ci] + rank, -1)
+            outs.append(jnp.where(idx < cap, idx, -1).astype(jnp.int32))
+    return jnp.stack(outs, axis=0)
 
 
 @partial(jax.jit, static_argnames=("r", "grid_half", "cap"))
@@ -243,39 +229,44 @@ def stem_and_conv3(table_packed, coords, valid, r: int, grid_half: int,
     9 xy columns are a subset of the stem's) — saves re-gathering them."""
     rng = range(-r, r + 1)
     g = 2 * grid_half
+    n = coords.shape[0]
     b = coords[:, 0]
     bz0 = coords[:, 3] + ZC
     occ_cols = []
     conv_rows = []
-    for dx in rng:
-        for dy in rng:
-            gx = coords[:, 1] + grid_half + dx
-            gy = coords[:, 2] + grid_half + dy
-            okc = valid & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-            full_row = table_packed[
-                jnp.where(okc, b, 0),
-                jnp.clip(gx, 0, g - 1),
-                jnp.clip(gy, 0, g - 1),
-            ]
-            row = full_row[:, :ZWORDS].astype(jnp.uint32)
-            start = full_row[:, ZWORDS]
-            widx = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-            for dz in rng:
-                bz = bz0 + dz
-                okz = okc & (bz >= 0) & (bz < ZWORDS * 32)
-                bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
-                w = jnp.sum(
-                    jnp.where(widx == (bzc >> 5)[:, None], row, jnp.uint32(0)),
-                    axis=-1, dtype=jnp.uint32,
+    # ONE (2r+1)^2 * N row gather for all xy columns (see lookup_map).
+    xy = [(dx, dy) for dx in rng for dy in rng]
+    dxs = jnp.asarray(np.array([d[0] for d in xy], np.int32))
+    dys = jnp.asarray(np.array([d[1] for d in xy], np.int32))
+    gx = (coords[:, 1] + grid_half)[None, :] + dxs[:, None]
+    gy = (coords[:, 2] + grid_half)[None, :] + dys[:, None]
+    okc_all = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+    full_rows = table_packed[
+        jnp.where(okc_all, jnp.broadcast_to(b[None, :], gx.shape), 0).reshape(-1),
+        jnp.clip(gx, 0, g - 1).reshape(-1),
+        jnp.clip(gy, 0, g - 1).reshape(-1),
+    ].reshape(len(xy), n, ZWORDS + 2)
+    for ci, (dx, dy) in enumerate(xy):
+        okc = okc_all[ci]
+        row = full_rows[ci, :, :ZWORDS].astype(jnp.uint32)
+        start = full_rows[ci, :, ZWORDS]
+        widx = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+        for dz in rng:
+            bz = bz0 + dz
+            okz = okc & (bz >= 0) & (bz < ZWORDS * 32)
+            bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
+            w = jnp.sum(
+                jnp.where(widx == (bzc >> 5)[:, None], row, jnp.uint32(0)),
+                axis=-1, dtype=jnp.uint32,
+            )
+            bit = (w >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
+            occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
+            if abs(dx) <= 1 and abs(dy) <= 1 and abs(dz) <= 1:
+                rank, exists = _rank_from_row(row, bzc)
+                idx = jnp.where(okz & exists, start + rank, -1)
+                conv_rows.append(
+                    ((dx, dy, dz), jnp.where(idx < cap, idx, -1).astype(jnp.int32))
                 )
-                bit = (w >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
-                occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
-                if abs(dx) <= 1 and abs(dy) <= 1 and abs(dz) <= 1:
-                    rank, exists = _rank_from_row(row, bzc)
-                    idx = jnp.where(okz & exists, start + rank, -1)
-                    conv_rows.append(
-                        ((dx, dy, dz), jnp.where(idx < cap, idx, -1).astype(jnp.int32))
-                    )
     # NB: emitting this in bf16 looks attractive (halves HBM traffic) but
     # benches 3.5x SLOWER end-to-end — the narrow-type relayout of the
     # 125-column stack dominates.  Keep f32.

@@ -107,6 +107,10 @@ def preprocess_scan_bev(
     pts = points[:, :3]
     labels = sem_labels
 
+    # NB: sub_p sampling is intentionally coupled to the presence of
+    # augmentations, matching the reference's (arguably buggy) coupling
+    # (utils/datasets/semantickitti.py:134-139): a config with an empty
+    # augmentation_list silently disables sub_p as well.
     if train and augmentations is not None:
         if sub_p < 1.0:
             m = max(1, int(sub_p * pts.shape[0]))

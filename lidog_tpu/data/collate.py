@@ -48,11 +48,18 @@ def collate_padded(
         dropped += m - keep
         if keep <= 0:
             continue
+        if keep < m:
+            # Voxel rows arrive lex-sorted by (x, y, z); truncating the tail
+            # would silently discard the +x edge of the scene.  An evenly
+            # strided subset keeps spatial coverage unbiased.
+            sel = np.linspace(0, m - 1, keep).astype(np.int64)
+        else:
+            sel = slice(None)
         coords[row : row + keep, 0] = b
-        coords[row : row + keep, 1:] = s["coordinates"][:keep]
-        f = s["features"][:keep]
+        coords[row : row + keep, 1:] = s["coordinates"][sel]
+        f = s["features"][sel]
         feats[row : row + keep, : f.shape[1]] = f
-        labels[row : row + keep] = s["sem_labels"][:keep]
+        labels[row : row + keep] = s["sem_labels"][sel]
         mask[row : row + keep] = True
         row += keep
 

@@ -40,6 +40,10 @@ def preprocess_scan(
         if intensity is not None:
             intensity = intensity[keep]
 
+    # NB: sub_p sampling is intentionally coupled to the presence of
+    # augmentations, matching the reference's (arguably buggy) coupling
+    # (utils/datasets/semantickitti.py:134-139): a config with an empty
+    # augmentation_list silently disables sub_p as well.
     sampled_idx = np.arange(pts.shape[0])
     if train and augmentations is not None:
         if sub_p < 1.0:

@@ -17,9 +17,10 @@ The rasterization is the fused pooled scatter of lidog_tpu.ops.bev — no
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from lidog_tpu.core.plan import UNetPlan
 from lidog_tpu.core.sparse import SparseTensor
@@ -50,6 +51,11 @@ class MinkUNet34BEV(nn.Module):
     binary_seg: bool = False
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.float32
+    # Per-level raster scaling (reference `scaling_factors`,
+    # minkunet_bev.py:151-156 + train_lidog.py:53-55): factor s scales the
+    # 2000^2 -> pooled grid by using MaxPool(5, int(3/s), 1).
+    scaling_factors: Optional[Tuple[float, ...]] = None
 
     @nn.compact
     def __call__(
@@ -64,6 +70,7 @@ class MinkUNet34BEV(nn.Module):
             out_channels=self.out_channels,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
+            compute_dtype=self.compute_dtype,
             name="backbone",
         )(x, plan, train)
         # Map reference tap names to backbone taps ('bottle' is the block5
@@ -76,8 +83,12 @@ class MinkUNet34BEV(nn.Module):
         }
         bev_logits = {}
         if is_train:
+            scales = dict(
+                zip(self.decoder_2d_levels, self.scaling_factors or ())
+            )
             for lvl_name in self.decoder_2d_levels:
                 t = tensors[lvl_name]
+                sf = scales.get(lvl_name, 1.0)
                 bev = bev_scatter_pooled(
                     t.coords,
                     t.feats,
@@ -85,6 +96,7 @@ class MinkUNet34BEV(nn.Module):
                     num_batches=self.num_batches,
                     voxel_size=self.voxel_size,
                     bound=self.bound_2d,
+                    pool_stride=int(3 / sf),
                 )
                 bev_logits[lvl_name] = Encoder2D(
                     n_classes=self.out_channels,

@@ -9,9 +9,10 @@ standard BasicBlocks; everything else matches MinkUNet34.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from lidog_tpu.core.plan import UNetPlan
 from lidog_tpu.core.sparse import SparseTensor, cat
@@ -60,12 +61,14 @@ class MinkUNet34IBN(nn.Module):
     out_channels: int = 7
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: SparseTensor, plan: UNetPlan, train: bool = True, is_seg: bool = True
     ):
         ax = self.axis_name
+        x = x.with_feats(x.feats.astype(self.compute_dtype))
 
         def blocks(x, cls, n, planes, level, name):
             for i in range(n):

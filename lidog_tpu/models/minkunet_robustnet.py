@@ -15,9 +15,10 @@ Reference: utils/models/minkunet_robustnet.py —
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from lidog_tpu.core.plan import UNetPlan
 from lidog_tpu.core.sparse import SparseTensor, cat
@@ -66,12 +67,14 @@ class MinkUNet34Robust(nn.Module):
     out_channels: int = 7
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: SparseTensor, plan: UNetPlan, train: bool = True, is_seg: bool = True
     ):
         ax = self.axis_name
+        x = x.with_feats(x.feats.astype(self.compute_dtype))
         whitened = []  # (feats, mask) pairs for the IW/IRW loss
 
         def rob_blocks(x, n, planes, level, name):

@@ -68,8 +68,11 @@ def bev_scatter_pooled(
     xlo, xhi = axis_candidates(px)
 
     fz = feats * ok[:, None].astype(feats.dtype)
-    for dy in range(2):
-        for dx in range(2):
+    # Each input pixel reaches at most ceil(window/stride) pool outputs per
+    # axis (2 for the default 5/3; 1 for the scaled strides >= window).
+    cands = -(-pool_window // pool_stride)
+    for dy in range(cands):
+        for dx in range(cands):
             iy = ylo + dy
             ix = xlo + dx
             valid = ok & (iy <= yhi) & (ix <= xhi)

@@ -64,6 +64,7 @@ def make_lidog_train_step(
     warmup_epochs: int = 0,
     steps_per_epoch: int = 1,
     axis_name: Optional[str] = None,
+    plan_fn: Optional[Callable] = None,
 ):
     caps = tuple(caps)
     w = tuple(source_weights)
@@ -73,9 +74,13 @@ def make_lidog_train_step(
         gate = (epoch >= warmup_epochs).astype(jnp.float32)
 
         def plan_for(suffix):
-            if plans is None:
-                return None
-            return plans if not isinstance(plans, dict) else plans.get(suffix)
+            if plans is not None:
+                return plans if not isinstance(plans, dict) else plans.get(suffix)
+            if plan_fn is not None:
+                # In-graph plan build (bitgrid builder traces inline) — used
+                # under shard_map where per-device plans can't be prebuilt.
+                return plan_fn(batch[f"coords{suffix}"], batch[f"mask{suffix}"])
+            return None
 
         def loss_fn(params):
             stats = state.batch_stats

@@ -33,6 +33,7 @@ def make_robustnet_train_step(
     aux_weight: float = 0.5,
     steps_per_epoch: int = 1,
     axis_name: Optional[str] = None,
+    plan_fn: Optional[Callable] = None,
 ):
     caps = tuple(caps)
 
@@ -41,9 +42,13 @@ def make_robustnet_train_step(
         gate = (epoch >= cov_stat_epoch).astype(jnp.float32)
 
         def plan_for(suffix):
-            if plans is None:
-                return None
-            return plans if not isinstance(plans, dict) else plans.get(suffix)
+            if plans is not None:
+                return plans if not isinstance(plans, dict) else plans.get(suffix)
+            if plan_fn is not None:
+                # In-graph plan build (bitgrid builder traces inline) — used
+                # under shard_map where per-device plans can't be prebuilt.
+                return plan_fn(batch[f"coords{suffix}"], batch[f"mask{suffix}"])
+            return None
 
         def fwd(params, stats, suffix):
             plan = plan_for(suffix)

@@ -93,6 +93,7 @@ def make_train_step(
     source_weights: Sequence[float] = (0.5, 0.5),
     num_sources: int = 1,
     axis_name: Optional[str] = None,
+    plan_fn: Optional[Callable] = None,
 ):
     """Build the device-local train step; wrap in shard_map for multi-chip."""
     caps = tuple(caps)
@@ -103,9 +104,13 @@ def make_train_step(
         plan in-graph (fused path, used under shard_map)."""
 
         def plan_for(suffix):
-            if plans is None:
-                return None
-            return plans if not isinstance(plans, dict) else plans.get(suffix)
+            if plans is not None:
+                return plans if not isinstance(plans, dict) else plans.get(suffix)
+            if plan_fn is not None:
+                # In-graph plan build (bitgrid builder traces inline) — used
+                # under shard_map where per-device plans can't be prebuilt.
+                return plan_fn(batch[f"coords{suffix}"], batch[f"mask{suffix}"])
+            return None
 
         def loss_fn(params):
             if num_sources == 1:

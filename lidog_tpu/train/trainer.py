@@ -51,6 +51,8 @@ class Trainer:
         is_bev_model: bool = False,
         plan_builder=None,
         multi_source: bool = False,
+        jit_step: bool = True,
+        parallel: bool = False,
     ):
         self.model = model
         self.state = state
@@ -74,7 +76,12 @@ class Trainer:
         self.logger = logger or MetricLogger(self.run_path)
         self.log_every = log_every_n_steps
 
-        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        # Multi-device steps arrive pre-wrapped by make_parallel_train_step
+        # (already jitted + donated); don't double-wrap.
+        self.parallel = parallel
+        self.train_step = (
+            jax.jit(train_step, donate_argnums=(0,)) if jit_step else train_step
+        )
         self._eval_apply = jax.jit(self._eval_forward)
         self._bev_apply = None  # lazily jitted (BEV models only)
         # Reference dumps BEV label/pred JPEGs every 1000 steps after
@@ -117,6 +124,7 @@ class Trainer:
         """Qualitative BEV JPEGs (trainer_lighting_bev.py:187-225)."""
         if (
             not self.is_bev_model
+            or self.parallel  # batch is [D, ...]-stacked; dump on 1-dev runs
             or self.bev_dump_every <= 0
             or epoch < self.bev_dump_after_epoch
             or step % self.bev_dump_every != 0
@@ -209,7 +217,9 @@ class Trainer:
                     plans = self._build_plans(batch)
                     self.state, metrics = self.train_step(self.state, batch, plans)
                 else:
+                    plans = None
                     self.state, metrics = self.train_step(self.state, batch)
+                self._maybe_dump_bev(batch, plans, step, epoch)
                 step += 1
                 steps_this_run += 1
                 if self.profile_dir and step == 15:
