@@ -88,16 +88,18 @@ def main():
     from lidog_tpu.core import bitgrid
 
     bits0, _ = bitgrid.build_bits(batch["coords"], batch["mask"], BATCH, 1024, 0)
-    table0, _ = bitgrid.column_table(bits0)
+    cid0, comp0 = bitgrid.compact_table(
+        bits0, batch["coords"], batch["mask"], 1024, 0, CAPS[0]
+    )
     l0 = builder(batch["coords"], batch["mask"]).level(0)
     timed("  build_bits l0", lambda: bitgrid.build_bits(batch["coords"], batch["mask"], BATCH, 1024, 0)[0])
-    timed("  column_table l0", lambda: bitgrid.column_table(bits0)[0])
+    timed("  compact_table l0", lambda: bitgrid.compact_table(bits0, batch["coords"], batch["mask"], 1024, 0, CAPS[0])[0])
     timed("  coarsen l0->l1", lambda: bitgrid.coarsen_bits(bits0))
-    timed("  stem_and_conv3 (25 cols)", lambda: bitgrid.stem_and_conv3(table0, l0.coords, l0.mask, 2, 1024, CAPS[0])[0])
+    timed("  stem_and_conv3 (25 cols)", lambda: bitgrid.stem_and_conv3_2(cid0, comp0, l0.coords, l0.mask, 2, 1024, CAPS[0])[0])
     timed(
         "  conv3 map @l0-scale (9 cols)",
-        lambda: bitgrid.lookup_map(
-            table0, l0.coords, l0.mask,
+        lambda: bitgrid.lookup_map2(
+            cid0, comp0, l0.coords, l0.mask,
             ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)),
             (-1, 0, 1), 1024, 0, CAPS[0],
         ),

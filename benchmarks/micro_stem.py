@@ -38,7 +38,9 @@ def main():
     plan = builder(batch["coords"], batch["mask"])
     l0 = plan.level(0)
     bits0, _ = bitgrid.build_bits(batch["coords"], batch["mask"], BATCH, 1024, 0)
-    table0, _ = bitgrid.column_table(bits0)
+    cid0, comp0 = bitgrid.compact_table(
+        bits0, batch["coords"], batch["mask"], 1024, 0, CAPS[0]
+    )
 
     @jax.jit
     def gather_only(table, coords, valid):
@@ -65,11 +67,9 @@ def main():
         f(out) if hasattr(out, "ravel") else None
         print(f"{label:30s} {(time.perf_counter()-t0)/iters*1e3:8.1f} ms")
 
-    timed("gather-only 25N rows",
-          lambda: gather_only(table0, l0.coords, l0.mask))
-    timed("stem_and_conv3 full",
-          lambda: bitgrid.stem_and_conv3(table0, l0.coords, l0.mask, 2, 1024,
-                                         CAPS[0])[0])
+    timed("stem_and_conv3_2 two-level",
+          lambda: bitgrid.stem_and_conv3_2(cid0, comp0, l0.coords, l0.mask,
+                                           2, 1024, CAPS[0])[0])
 
 
 if __name__ == "__main__":

@@ -1,32 +1,32 @@
-"""Dense z-bitmask column tables: O(1) voxel lookup with one wide gather.
+"""z-bitmask column tables: O(1) voxel lookup via two small-footprint gathers.
 
-The third-generation kernel-map engine (after binary search and sort-merge
-join, both of which are slow on TPU: XLA 1-D sorts cost ~300 ns/element and
-scalar gathers ~8 ns/ROW regardless of row width up to ~8 ints).  This
-design exploits both hardware facts and the LiDAR domain structure:
+The fourth-generation kernel-map engine (after binary search, sort-merge
+join, and the round-1 dense packed table).  Design facts, all measured on
+v5e (benchmarks/micro/):
 
   * Voxels in canonical order (sorted by batch, x, y, z) form contiguous
-    "columns" of equal (b, x, y).
-  * A dense per-level table holds, for every (batch, x, y) cell, the
-    column's 512+-bit z-occupancy bitmask plus the row index of its first
-    voxel — one (ZWORDS+2)-int row, fetched with a SINGLE wide gather.
-  * The canonical row of any voxel is  start + popcount(bits below z) —
-    pure VPU math on the gathered row.  One gather resolves ALL z-offsets
-    of a kernel-map query at once, so a k=3 map costs 9 gathers per voxel
-    column instead of 27 searches.
-  * Coarser pyramid levels are derived from the fine bitmask with dense
-    elementwise bit-compression (no sort, no unique): coarse bit =
-    OR of the two fine z-bits, OR over the 2x2 xy cells.
-
-Memory: [B, G, G, ZWORDS+2] int32 per level (level 0 dominates; with
-G=2048 (+-51.2 m at 0.05 m), ZWORDS=20 (z in +-16 m), B=4: ~1.5 GB HBM),
-rebuilt every step with scatters of O(N) rows.
+    "columns" of equal (b, x, y); a column's z-occupancy fits a 448-bit
+    mask, and the canonical row of any voxel is
+    start + popcount(bits below z) — pure VPU math on a gathered row.
+    One row resolves ALL z-offsets of a kernel-map query, so a k=3 map
+    costs 9 column fetches instead of 27 searches.
+  * XLA 1-D sorts cost ~300 ns/element -> no sorts anywhere: the level
+    pyramid is dense bit-compression (coarsen_bits), canonicalization is a
+    rank-scatter.
+  * Random row-gather cost depends on the operand FOOTPRINT: ~4-7 ns/row
+    under ~100 MB but ~23 ns/row at 256 MB+.  The round-1 dense packed
+    table ([B, 2048, 2048, 16] int32 = 1 GB at level 0) sat in the slow
+    tier, so lookups now go through a TWO-LEVEL table (compact_table): a
+    dense col_id grid ([B,G,G] int32, 67 MB) pointing into compact
+    (bits, start) rows ([cap, 16] int32, ~25 MB).  Two dependent gathers
+    on small footprints beat one gather on a big one ~1.6x.
+  * All xy offsets of a map are fetched with ONE concatenated gather
+    (a single big gather pipelines better than sequential per-offset ones).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,19 +37,6 @@ ZWORDS = 14  # 448 z bits; with `start` the table row is 15 ints — one 64 B
 # latency bound.  z window at level 0: +-224 cells = +-11.2 m at 0.05 m
 # (covers the reference's [-10, 8] m BEV z-range, synth4d_bev.py:158).
 ZC = ZWORDS * 16  # z bit-center (multiple of 32)
-
-
-class BitTable(NamedTuple):
-    """Dense column table for one level: packed [B, G, G, ZWORDS+2] int32.
-
-    [..., :ZWORDS]  z-occupancy bitmask words (uint32 semantics)
-    [..., ZWORDS]   column start row (int32; garbage where empty)
-    [..., ZWORDS+1] exclusive per-column rank base == start (kept for width)
-    """
-
-    packed: jnp.ndarray
-    grid_half: int  # static
-    level: int  # static
 
 
 def _cumsum_flat(x2d):
@@ -139,20 +126,177 @@ def coarsen_bits(bits):
     return (lo | (hi << 16)).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=())
-def column_table(bits):
-    """bits [B,G,G,ZWORDS] -> packed table with column starts.
+@partial(jax.jit, static_argnames=("grid_half", "level", "cap"))
+def compact_table(bits, coords, valid, grid_half: int, level: int, cap: int):
+    """Two-level column table: dense col_id [B,G,G] int32 (-1 = empty) plus
+    compact rows [cap, ZWORDS+2] holding (bits, start, start) for occupied
+    columns only.
 
-    start[b,gx,gy] = number of voxels in all earlier columns (canonical
-    order), i.e. the row index of this column's first voxel."""
+    Kernel-map gathers then touch a ~67 MB id table (4 B rows) and a ~25 MB
+    compact table instead of the 1 GB packed dense table — measured on v5e,
+    random row-gather cost grows with operand FOOTPRINT (~4 ns/row at
+    <=100 MB vs ~25 ns/row at 1 GB), so the indirection pays ~3x on the
+    plan's gather passes despite the extra dependent gather.
+
+    The compact rows are filled voxel-side: every occupied column contains
+    at least one voxel, and duplicate scatter writes of identical rows are
+    benign.
+    """
     u = bits.astype(jnp.uint32)
     popc = jnp.sum(jax.lax.population_count(u), axis=-1).astype(jnp.int32)
     b, g, _ = popc.shape[:3]
     start = _cumsum_flat(popc.reshape(b * g, g)).reshape(b, g, g)
-    packed = jnp.concatenate(
-        [bits, start[..., None], start[..., None]], axis=-1
+    has = popc > 0
+    cid = _cumsum_flat(has.astype(jnp.int32).reshape(b * g, g)).reshape(
+        b, g, g
     )
-    return packed, start
+    col_id = jnp.where(has, cid, -1).astype(jnp.int32)
+
+    vb, gx, gy, _, ok = _cell_of(coords, grid_half, level)
+    ok = ok & valid
+    vbs = jnp.where(ok, vb, 0)
+    gxc = jnp.clip(gx, 0, g - 1)
+    gyc = jnp.clip(gy, 0, g - 1)
+    vox_cid = jnp.where(ok, col_id[vbs, gxc, gyc], -1)
+    row = jnp.concatenate(
+        [
+            u[vbs, gxc, gyc, :].astype(jnp.int32),
+            start[vbs, gxc, gyc][:, None],
+            start[vbs, gxc, gyc][:, None],
+        ],
+        axis=1,
+    )  # [N, ZWORDS+2]
+    slot = jnp.where((vox_cid >= 0) & (vox_cid < cap), vox_cid, cap)
+    compact = (
+        jnp.zeros((cap + 1, ZWORDS + 2), jnp.int32)
+        .at[slot]
+        .set(row, mode="drop")[:cap]
+    )
+    return col_id, compact
+
+
+@partial(jax.jit, static_argnames=("xy_offsets", "z_offsets", "grid_half",
+                                   "level", "cap"))
+def lookup_map2(col_id, compact, coords, valid, xy_offsets: tuple,
+                z_offsets: tuple, grid_half: int, level: int, cap: int):
+    """lookup_map on the two-level table (see compact_table)."""
+    g = (2 * grid_half) >> level
+    n = coords.shape[0]
+    b = coords[:, 0]
+    gx0 = (coords[:, 1] >> level) + (grid_half >> level)
+    gy0 = (coords[:, 2] >> level) + (grid_half >> level)
+    bz0 = (coords[:, 3] >> level) + ZC
+
+    dxs = jnp.asarray(np.array([d[0] for d in xy_offsets], np.int32))
+    dys = jnp.asarray(np.array([d[1] for d in xy_offsets], np.int32))
+    gx = gx0[None, :] + dxs[:, None]
+    gy = gy0[None, :] + dys[:, None]
+    okc = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+    cids = col_id[
+        jnp.where(okc, jnp.broadcast_to(b[None, :], gx.shape), 0).reshape(-1),
+        jnp.clip(gx, 0, g - 1).reshape(-1),
+        jnp.clip(gy, 0, g - 1).reshape(-1),
+    ]  # [n_xy*N] — 4 B gather
+    hit_col = (cids >= 0) & okc.reshape(-1)
+    rows = compact[jnp.where(hit_col, cids, 0)]  # [n_xy*N, ZWORDS+2]
+    n_xy = len(xy_offsets)
+    bits_u = rows[:, :ZWORDS].astype(jnp.uint32).reshape(n_xy, n, ZWORDS)
+    startv = rows[:, ZWORDS].reshape(n_xy, n)
+    hit_col = hit_col.reshape(n_xy, n)
+    outs = []
+    for ci in range(n_xy):
+        for dz in z_offsets:
+            bz = bz0 + dz
+            okz = hit_col[ci] & (bz >= 0) & (bz < ZWORDS * 32)
+            rank, exists = _rank_from_row(
+                bits_u[ci], jnp.clip(bz, 0, ZWORDS * 32 - 1)
+            )
+            idx = jnp.where(okz & exists, startv[ci] + rank, -1)
+            outs.append(jnp.where(idx < cap, idx, -1).astype(jnp.int32))
+    return jnp.stack(outs, axis=0)
+
+
+@partial(jax.jit, static_argnames=("r", "grid_half", "cap"))
+def stem_and_conv3_2(col_id, compact, coords, valid, r: int, grid_half: int,
+                     cap: int):
+    """stem_and_conv3 on the two-level table (see compact_table)."""
+    rng = range(-r, r + 1)
+    g = 2 * grid_half
+    n = coords.shape[0]
+    b = coords[:, 0]
+    bz0 = coords[:, 3] + ZC
+    occ_cols = []
+    conv_rows = []
+    xy = [(dx, dy) for dx in rng for dy in rng]
+    dxs = jnp.asarray(np.array([d[0] for d in xy], np.int32))
+    dys = jnp.asarray(np.array([d[1] for d in xy], np.int32))
+    gx = (coords[:, 1] + grid_half)[None, :] + dxs[:, None]
+    gy = (coords[:, 2] + grid_half)[None, :] + dys[:, None]
+    okc_all = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+    cids = col_id[
+        jnp.where(okc_all, jnp.broadcast_to(b[None, :], gx.shape), 0).reshape(-1),
+        jnp.clip(gx, 0, g - 1).reshape(-1),
+        jnp.clip(gy, 0, g - 1).reshape(-1),
+    ]
+    hit_col_all = (cids >= 0) & okc_all.reshape(-1)
+    full_rows = compact[jnp.where(hit_col_all, cids, 0)].reshape(
+        len(xy), n, ZWORDS + 2
+    )
+    hit_col_all = hit_col_all.reshape(len(xy), n)
+    for ci, (dx, dy) in enumerate(xy):
+        okc = hit_col_all[ci]
+        row = full_rows[ci, :, :ZWORDS].astype(jnp.uint32)
+        start = full_rows[ci, :, ZWORDS]
+        widx = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+        for dz in rng:
+            bz = bz0 + dz
+            okz = okc & (bz >= 0) & (bz < ZWORDS * 32)
+            bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
+            w = jnp.sum(
+                jnp.where(widx == (bzc >> 5)[:, None], row, jnp.uint32(0)),
+                axis=-1, dtype=jnp.uint32,
+            )
+            bit = (w >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
+            occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
+            if abs(dx) <= 1 and abs(dy) <= 1 and abs(dz) <= 1:
+                rank, exists = _rank_from_row(row, bzc)
+                idx = jnp.where(okz & exists, start + rank, -1)
+                conv_rows.append(
+                    ((dx, dy, dz), jnp.where(idx < cap, idx, -1).astype(jnp.int32))
+                )
+    occ = jnp.stack(occ_cols, axis=1).astype(jnp.float32)
+    conv_rows.sort(key=lambda t: t[0])
+    conv3 = jnp.stack([rowv for _, rowv in conv_rows], axis=0)
+    return occ, conv3
+
+
+@partial(jax.jit, static_argnames=("grid_half", "level"))
+def lookup_column2(col_id, compact, coords, valid, dx, dy,
+                   z_offsets: tuple, grid_half: int, level: int):
+    """lookup_column on the two-level table."""
+    g = (2 * grid_half) >> level
+    b = coords[:, 0]
+    gx = (coords[:, 1] >> level) + (grid_half >> level) + dx
+    gy = (coords[:, 2] >> level) + (grid_half >> level) + dy
+    bz0 = (coords[:, 3] >> level) + ZC
+    okc = valid & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+    cids = col_id[
+        jnp.where(okc, b, 0),
+        jnp.clip(gx, 0, g - 1),
+        jnp.clip(gy, 0, g - 1),
+    ]
+    hit_col = (cids >= 0) & okc
+    row = compact[jnp.where(hit_col, cids, 0)]
+    bits_u = row[:, :ZWORDS].astype(jnp.uint32)
+    start = row[:, ZWORDS]
+    outs = []
+    for dz in z_offsets:
+        bz = bz0 + dz
+        okz = hit_col & (bz >= 0) & (bz < ZWORDS * 32)
+        rank, exists = _rank_from_row(bits_u, jnp.clip(bz, 0, ZWORDS * 32 - 1))
+        idx = jnp.where(okz & exists, start + rank, -1)
+        outs.append(idx.astype(jnp.int32))
+    return jnp.stack(outs, axis=0)
 
 
 def _rank_from_row(row_bits_u, bz):
@@ -177,132 +321,3 @@ def _rank_from_row(row_bits_u, bz):
     in_word = jax.lax.population_count(w & mask_below).astype(jnp.int32)
     exists = ((w >> ib) & jnp.uint32(1)) == 1
     return below_words + in_word, exists
-
-
-@partial(jax.jit, static_argnames=("xy_offsets", "z_offsets", "grid_half",
-                                   "level", "cap"))
-def lookup_map(table_packed, coords, valid, xy_offsets: tuple,
-               z_offsets: tuple, grid_half: int, level: int, cap: int):
-    """Full kernel map in one jitted call: [len(xy)*len(z), N] int32.
-
-    Row order is (dx, dy, dz) with dz fastest — core.plan._offsets order.
-    All xy columns are fetched with ONE concatenated [n_xy*N]-row gather
-    (a single big gather pipelines ~13% better than n_xy sequential ones
-    on v5e; see benchmarks/micro/micro_conv_variants.py)."""
-    g = (2 * grid_half) >> level
-    n = coords.shape[0]
-    b = coords[:, 0]
-    gx0 = (coords[:, 1] >> level) + (grid_half >> level)
-    gy0 = (coords[:, 2] >> level) + (grid_half >> level)
-    bz0 = (coords[:, 3] >> level) + ZC
-
-    dxs = jnp.asarray(np.array([d[0] for d in xy_offsets], np.int32))
-    dys = jnp.asarray(np.array([d[1] for d in xy_offsets], np.int32))
-    gx = gx0[None, :] + dxs[:, None]  # [n_xy, N]
-    gy = gy0[None, :] + dys[:, None]
-    okc = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-    rows = table_packed[
-        jnp.where(okc, jnp.broadcast_to(b[None, :], gx.shape), 0).reshape(-1),
-        jnp.clip(gx, 0, g - 1).reshape(-1),
-        jnp.clip(gy, 0, g - 1).reshape(-1),
-    ]  # [n_xy*N, ZWORDS+2] — ONE gather
-    bits_u = rows[:, :ZWORDS].astype(jnp.uint32).reshape(len(xy_offsets), n, ZWORDS)
-    start = rows[:, ZWORDS].reshape(len(xy_offsets), n)
-    outs = []
-    for ci in range(len(xy_offsets)):
-        for dz in z_offsets:
-            bz = bz0 + dz
-            okz = okc[ci] & (bz >= 0) & (bz < ZWORDS * 32)
-            rank, exists = _rank_from_row(
-                bits_u[ci], jnp.clip(bz, 0, ZWORDS * 32 - 1)
-            )
-            idx = jnp.where(okz & exists, start[ci] + rank, -1)
-            outs.append(jnp.where(idx < cap, idx, -1).astype(jnp.int32))
-    return jnp.stack(outs, axis=0)
-
-
-@partial(jax.jit, static_argnames=("r", "grid_half", "cap"))
-def stem_and_conv3(table_packed, coords, valid, r: int, grid_half: int,
-                   cap: int):
-    """One pass over the stem's (2r+1)^2 xy columns producing BOTH the stem
-    occupancy matrix [N, (2r+1)^3] and the conv3 level-0 map [27, N] (whose
-    9 xy columns are a subset of the stem's) — saves re-gathering them."""
-    rng = range(-r, r + 1)
-    g = 2 * grid_half
-    n = coords.shape[0]
-    b = coords[:, 0]
-    bz0 = coords[:, 3] + ZC
-    occ_cols = []
-    conv_rows = []
-    # ONE (2r+1)^2 * N row gather for all xy columns (see lookup_map).
-    xy = [(dx, dy) for dx in rng for dy in rng]
-    dxs = jnp.asarray(np.array([d[0] for d in xy], np.int32))
-    dys = jnp.asarray(np.array([d[1] for d in xy], np.int32))
-    gx = (coords[:, 1] + grid_half)[None, :] + dxs[:, None]
-    gy = (coords[:, 2] + grid_half)[None, :] + dys[:, None]
-    okc_all = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-    full_rows = table_packed[
-        jnp.where(okc_all, jnp.broadcast_to(b[None, :], gx.shape), 0).reshape(-1),
-        jnp.clip(gx, 0, g - 1).reshape(-1),
-        jnp.clip(gy, 0, g - 1).reshape(-1),
-    ].reshape(len(xy), n, ZWORDS + 2)
-    for ci, (dx, dy) in enumerate(xy):
-        okc = okc_all[ci]
-        row = full_rows[ci, :, :ZWORDS].astype(jnp.uint32)
-        start = full_rows[ci, :, ZWORDS]
-        widx = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-        for dz in rng:
-            bz = bz0 + dz
-            okz = okc & (bz >= 0) & (bz < ZWORDS * 32)
-            bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
-            w = jnp.sum(
-                jnp.where(widx == (bzc >> 5)[:, None], row, jnp.uint32(0)),
-                axis=-1, dtype=jnp.uint32,
-            )
-            bit = (w >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
-            occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
-            if abs(dx) <= 1 and abs(dy) <= 1 and abs(dz) <= 1:
-                rank, exists = _rank_from_row(row, bzc)
-                idx = jnp.where(okz & exists, start + rank, -1)
-                conv_rows.append(
-                    ((dx, dy, dz), jnp.where(idx < cap, idx, -1).astype(jnp.int32))
-                )
-    # NB: emitting this in bf16 looks attractive (halves HBM traffic) but
-    # benches 3.5x SLOWER end-to-end — the narrow-type relayout of the
-    # 125-column stack dominates.  Keep f32.
-    occ = jnp.stack(occ_cols, axis=1).astype(jnp.float32)
-    conv_rows.sort(key=lambda t: t[0])  # product order, dz fastest
-    conv3 = jnp.stack([rowv for _, rowv in conv_rows], axis=0)
-    return occ, conv3
-
-
-@partial(jax.jit, static_argnames=("grid_half", "level", "z_offsets"))
-def lookup_column(table_packed, coords, valid, dx, dy, z_offsets: tuple,
-                  grid_half: int, level: int):
-    """Rows of (b, x+dx, y+dy, z+dz) for every dz in z_offsets.
-
-    coords are raw grid coords at `level`'s stride; dx/dy/z_offsets are in
-    units of that stride (traced or python ints).  Returns [len(z), N]
-    int32 with -1 for missing."""
-    g = (2 * grid_half) >> level
-    n = coords.shape[0]
-    b = coords[:, 0]
-    gx = (coords[:, 1] >> level) + (grid_half >> level) + dx
-    gy = (coords[:, 2] >> level) + (grid_half >> level) + dy
-    bz0 = (coords[:, 3] >> level) + ZC
-    okc = valid & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-    row = table_packed[
-        jnp.where(okc, b, 0),
-        jnp.clip(gx, 0, g - 1),
-        jnp.clip(gy, 0, g - 1),
-    ]  # [N, ZWORDS+2] — ONE wide gather
-    bits_u = row[:, :ZWORDS].astype(jnp.uint32)
-    start = row[:, ZWORDS]
-    outs = []
-    for dz in z_offsets:
-        bz = bz0 + dz
-        okz = okc & (bz >= 0) & (bz < ZWORDS * 32)
-        rank, exists = _rank_from_row(bits_u, jnp.clip(bz, 0, ZWORDS * 32 - 1))
-        idx = jnp.where(okz & exists, start + rank, -1)
-        outs.append(idx.astype(jnp.int32))
-    return jnp.stack(outs, axis=0)

@@ -1,10 +1,11 @@
-"""Bitgrid plan builder — UNetPlan from dense z-bitmask column tables.
+"""Bitgrid plan builder — UNetPlan from two-level z-bitmask column tables.
 
 Same output contract as core.plan.build_unet_plan / plan_staged, built with
 zero sorts and zero searches (see core.bitgrid): canonicalization is a
 rank-scatter, the level pyramid is dense bit-compression, and every kernel
-map is one wide gather + popcount per (x, y) column query (all z-offsets of
-a query resolve from a single gathered bitmask row).
+map is one concatenated small-footprint gather pair (col_id -> compact
+row) + popcount per (x, y) column query (all z-offsets of a query resolve
+from a single fetched bitmask row).
 
 Constraints vs. the generic builders (documented deviations):
   * voxels outside the xy grid (+-grid_half cells) or the z window
@@ -16,7 +17,6 @@ shard_map dry runs and tiny tests.
 
 from __future__ import annotations
 
-import itertools
 from functools import partial
 from typing import Tuple
 
@@ -64,35 +64,25 @@ class BitPlanBuilder:
         self.stem_kernel = stem_kernel
         self.stem_mode = stem_mode
 
-    def _lookup(self, table, level_idx, coords, valid, dx, dy, dzs, cap):
-        idx = bitgrid.lookup_column(
-            table, coords, valid, dx, dy, tuple(dzs),
-            self.grid_half, level_idx,
-        )
-        return jnp.where(idx < cap, idx, -1)
-
-    def _xy_map(self, table, level_idx, out_coords, out_mask, r, cap,
-                z_offsets):
-        """[K, N] table for a hypercube kernel, one jitted call."""
-        xy = tuple(
-            (dx, dy)
-            for dx in range(-r, r + 1)
-            for dy in range(-r, r + 1)
-        )
-        return bitgrid.lookup_map(
-            table, out_coords, out_mask, xy, tuple(z_offsets),
-            self.grid_half, level_idx, cap,
-        )
-
     def __call__(self, coords, mask) -> UNetPlan:
         caps = self.caps
         B, gh = self.num_batches, self.grid_half
         assert coords.shape[0] == caps[0]
 
         # --- level 0: rank-scatter canonicalization --------------------
+        # Every level uses the TWO-LEVEL table (dense col_id + compact
+        # rows): on v5e, random row gathers cost ~23 ns/row into a 256 MB+
+        # operand but ~4-7 ns/row under ~100 MB, so the extra dependent
+        # gather through the small id table wins on levels 0-1 and is free
+        # on the already-small coarser levels (benchmarks/micro_stem.py).
         bits, dropped0 = bitgrid.build_bits(coords, mask, B, gh, 0)
-        table, _ = bitgrid.column_table(bits)
-        pos = self._lookup(table, 0, coords, mask, 0, 0, (0,), caps[0])[0]
+        col_id0, compact0 = bitgrid.compact_table(
+            bits, coords, mask, gh, 0, caps[0]
+        )
+        pos0 = bitgrid.lookup_column2(
+            col_id0, compact0, coords, mask, 0, 0, (0,), gh, 0
+        )[0]
+        pos = jnp.where(pos0 < caps[0], pos0, -1)
         coords0 = _scatter_rows(pos, coords, caps[0])
         perm = _scatter_rows(
             pos, jnp.arange(caps[0], dtype=jnp.int32), caps[0]
@@ -102,21 +92,27 @@ class BitPlanBuilder:
         coords0 = jnp.where(mask0[:, None], coords0, 0)
         h0, l0 = keys.pack(coords0, mask0)
         levels = [LevelPlan(coords0, mask0, h0, l0, stride=1)]
-        tables = [table]
+        tables = [(col_id0, compact0)]
         overflow = [dropped0]
 
         # --- pyramid: dense bit-compression + parent ranks -------------
         kmaps = {}
         for i in range(1, NUM_LEVELS):
             bits = bitgrid.coarsen_bits(bits)
-            table, _ = bitgrid.column_table(bits)
             prev = levels[i - 1]
             s = 1 << i
             parent_xyz = (prev.coords[:, 1:4] // s) * s
             pcoords = jnp.concatenate([prev.coords[:, :1], parent_xyz], axis=1)
-            parent_idx = self._lookup(
-                table, i, pcoords, prev.mask, 0, 0, (0,), caps[i]
+            # pcoords (every fine voxel's parent) touch every occupied
+            # coarse column, so they can fill the compact rows directly.
+            col_id, compact = bitgrid.compact_table(
+                bits, pcoords, prev.mask, self.grid_half, i, caps[i]
+            )
+            pidx = bitgrid.lookup_column2(
+                col_id, compact, pcoords, prev.mask, 0, 0, (0,),
+                self.grid_half, i,
             )[0]
+            parent_idx = jnp.where(pidx < caps[i], pidx, -1)
             # Up map for the decoder's transposed conv (bucketed by the
             # fine-in-coarse offset, same contract as core.plan).
             d = (prev.coords[:, 1:4] - parent_xyz) // (s >> 1)
@@ -136,7 +132,7 @@ class BitPlanBuilder:
             coords_i = jnp.where(mask_i[:, None], coords_i, 0)
             h, l = keys.pack(coords_i, mask_i)
             levels.append(LevelPlan(coords_i, mask_i, h, l, stride=s))
-            tables.append(table)
+            tables.append((col_id, compact))
             overflow.append(jnp.maximum(n_i - caps[i], 0))
 
         # --- kernel maps ------------------------------------------------
@@ -144,29 +140,40 @@ class BitPlanBuilder:
         if self.stem_mode == "occupancy":
             # Fused pass: the conv3 level-0 columns are a subset of the
             # stem's, so both come from one sweep over the big table.
-            kmaps["stem_occ"], kmaps["conv3_l0"] = bitgrid.stem_and_conv3(
-                tables[0], levels[0].coords, levels[0].mask, r_stem,
+            kmaps["stem_occ"], kmaps["conv3_l0"] = bitgrid.stem_and_conv3_2(
+                col_id0, compact0, levels[0].coords, levels[0].mask, r_stem,
                 self.grid_half, caps[0],
             )
         else:
-            kmaps["stem"] = self._xy_map(
-                tables[0], 0, levels[0].coords, levels[0].mask, r_stem,
-                caps[0], tuple(range(-r_stem, r_stem + 1)),
+            stem_xy = tuple(
+                (dx, dy)
+                for dx in range(-r_stem, r_stem + 1)
+                for dy in range(-r_stem, r_stem + 1)
             )
-            kmaps["conv3_l0"] = self._xy_map(
-                tables[0], 0, levels[0].coords, levels[0].mask, 1, caps[0],
-                (-1, 0, 1),
+            kmaps["stem"] = bitgrid.lookup_map2(
+                col_id0, compact0, levels[0].coords, levels[0].mask, stem_xy,
+                tuple(range(-r_stem, r_stem + 1)), self.grid_half, 0, caps[0],
             )
+            kmaps["conv3_l0"] = bitgrid.lookup_map2(
+                col_id0, compact0, levels[0].coords, levels[0].mask,
+                ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+                 (1, -1), (1, 0), (1, 1)),
+                (-1, 0, 1), self.grid_half, 0, caps[0],
+            )
+        conv3_xy = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+                    (1, -1), (1, 0), (1, 1))
         for i in range(1, NUM_LEVELS):
-            kmaps[f"conv3_l{i}"] = self._xy_map(
-                tables[i], i, levels[i].coords, levels[i].mask, 1, caps[i],
-                (-1, 0, 1),
+            ci, co = tables[i]
+            kmaps[f"conv3_l{i}"] = bitgrid.lookup_map2(
+                ci, co, levels[i].coords, levels[i].mask, conv3_xy,
+                (-1, 0, 1), self.grid_half, i, caps[i],
             )
+        down_xy = ((0, 0), (0, 1), (1, 0), (1, 1))
         for i in range(NUM_LEVELS - 1):
-            kmaps[f"down_l{i}"] = bitgrid.lookup_map(
-                tables[i], levels[i + 1].coords, levels[i + 1].mask,
-                ((0, 0), (0, 1), (1, 0), (1, 1)), (0, 1),
-                self.grid_half, i, caps[i],
+            ci, co = tables[i]
+            kmaps[f"down_l{i}"] = bitgrid.lookup_map2(
+                ci, co, levels[i + 1].coords, levels[i + 1].mask,
+                down_xy, (0, 1), self.grid_half, i, caps[i],
             )
 
         return UNetPlan(

@@ -34,9 +34,11 @@ import jax.dtypes
 import jax.numpy as jnp
 import numpy as np
 
-# 'einsum' issues one fused mega-gather + contraction instead of a scan over
-# offset groups — ~13% faster on v5e (micro_conv_variants.py) at the cost of
-# a transient [K, N, C] buffer (2 GB at level-0/96ch production shapes).
+# EXPERIMENTAL: 'einsum' issues one fused mega-gather + contraction instead
+# of a scan over offset groups — ~13% faster in isolation on v5e
+# (micro_conv_variants.py) but its transient [K, N, C] buffers (2 GB at
+# level-0/96ch) blow XLA compile time up at full-model scale; keep 'scan'
+# for production.
 CONV_MODE = os.environ.get("LIDOG_TPU_CONV_MODE", "scan")
 
 

@@ -64,6 +64,15 @@ def test_train_lidog_parallel_cli(tiny_synth_env):
     config.pipeline.save_dir = str(tiny_synth_env / "exp_lidog")
     config.pipeline.lightning.check_val_every_n_epoch = 10
     config.pipeline.warmup_epochs = 0
+    # Tiny BEV raster: the production 2000^2-per-device scatter aborts the
+    # XLA:CPU compiler on the 8-device mesh (same shrink as the driver's
+    # dryrun_multichip).
+    from lidog_tpu.models.minkunet_bev import bev_head_size
+
+    config.pipeline.bound_2d = 10.0
+    config.model.bev_img_sizes = [
+        bev_head_size(10.0, config.source_dataset.voxel_size)
+    ]
 
     trainer = train(config)
     assert int(trainer.state.step) == 2
