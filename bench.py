@@ -6,11 +6,15 @@ Measures scans/sec/chip for the FUSED step
 on one TPU chip, at reference-like data scale (4 scans x ~100k points,
 voxel 0.05 m, 50 m radius — configs/source/single/synth4d-kitti.yaml).
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-we normalize against an estimated 20 scans/sec for MinkowskiEngine
-MinkUNet34 training on one A100 (batch 4, ~100k-voxel scans — consistent
-with the TorchSparse/Minuet literature, which reports ME at ~15-25
-scans/s on A100-class GPUs for this workload).  vs_baseline = value / 20.
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md),
+so we normalize against an ESTIMATE of 20 scans/sec for MinkowskiEngine
+MinkUNet34 training on one A100 (batch 4, ~100k-voxel scans).  Basis: the
+TorchSparse++ (MICRO'23) and Minuet (MLSys'24) papers benchmark ME
+MinkUNet forward passes at ~25-50 ms/scan on A100-class GPUs for
+SemanticKITTI-scale inputs; with backward ~2x forward plus optimizer and
+host quantization, a full training step lands around 40-60 ms/scan ->
+~15-25 scans/s.  This is a literature-derived estimate, not a
+measurement; vs_baseline = value / 20.
 
 Prints exactly one JSON line.
 """

@@ -158,12 +158,9 @@ def compact_table(bits, coords, valid, grid_half: int, level: int, cap: int):
     gxc = jnp.clip(gx, 0, g - 1)
     gyc = jnp.clip(gy, 0, g - 1)
     vox_cid = jnp.where(ok, col_id[vbs, gxc, gyc], -1)
+    vox_start = start[vbs, gxc, gyc][:, None]
     row = jnp.concatenate(
-        [
-            u[vbs, gxc, gyc, :].astype(jnp.int32),
-            start[vbs, gxc, gyc][:, None],
-            start[vbs, gxc, gyc][:, None],
-        ],
+        [u[vbs, gxc, gyc, :].astype(jnp.int32), vox_start, vox_start],
         axis=1,
     )  # [N, ZWORDS+2]
     slot = jnp.where((vox_cid >= 0) & (vox_cid < cap), vox_cid, cap)
