@@ -22,6 +22,10 @@ LEVEL_SHRINK = (1.0, 0.55, 0.3, 0.12, 0.05)  # empirical LiDAR compression
 
 
 def make_caps(batch_size: int, per_scan: int = DEFAULT_CAPS_PER_SCAN):
+    """Per-level voxel capacities.  LIDOG_TPU_CAPS_PER_SCAN tunes the
+    stride-1 bucket; the 131072 default is roomy for raw 120k-pt scans.
+    NB on v5e-16GB: the LiDOG (BEV) model at batch 4 needs <= ~98304/scan
+    to fit HBM (matches real data after the reference's sub_p=0.8)."""
     base = batch_size * per_scan
 
     def rup(x, m=2048):

@@ -51,8 +51,11 @@ def collate_padded(
         if keep < m:
             # Voxel rows arrive lex-sorted by (x, y, z); truncating the tail
             # would silently discard the +x edge of the scene.  An evenly
-            # strided subset keeps spatial coverage unbiased.
-            sel = np.linspace(0, m - 1, keep).astype(np.int64)
+            # strided subset keeps spatial coverage unbiased.  floor(k*m/keep)
+            # is strictly increasing for m >= keep, so indices stay DISTINCT
+            # (duplicate voxel coords would break the bitgrid builder's
+            # uniqueness invariant).
+            sel = np.arange(keep, dtype=np.int64) * m // keep
         else:
             sel = slice(None)
         coords[row : row + keep, 0] = b

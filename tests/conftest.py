@@ -16,10 +16,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persist XLA:CPU compiles across test runs — the suite is dominated by
-# compile time on this 1-core host (round-1: 26.5 min cold).
+# compile time on this 1-core host (round-1: 26.5 min cold).  NB: do NOT
+# enable jax_persistent_cache_enable_xla_caches="all": the CPU AOT kernel
+# cache is keyed loosely enough that entries compiled with other machine
+# features load back and SIGSEGV/SIGILL (observed in this image).
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
