@@ -55,7 +55,13 @@ def evaluate(config, resume_checkpoint, save_predictions=False):
     mask = jnp.asarray(batch0["mask"])
     plan = plan_builder(coords, mask)
     x = input_tensor(plan, jnp.asarray(batch0["feats"]))
-    variables = model.init(jax.random.PRNGKey(0), x, plan, train=False)
+    # BEV models must init WITH the 2D branch (is_train=True) so the
+    # variable tree matches training checkpoints — eval forwards still skip
+    # the branch (is_train defaults False in Trainer._eval_forward).
+    init_kw = {"is_train": True} if config.model.name == "MinkUNet34BEV" else {}
+    variables = model.init(
+        jax.random.PRNGKey(0), x, plan, train=False, **init_kw
+    )
     tx = make_optimizer("Adam", 1e-3)
     state = TrainState.create(variables, tx)
 
