@@ -14,7 +14,7 @@ import pytest
 @pytest.mark.slow
 def test_lidog_train_checkpoint_eval_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("LIDOG_TPU_SYNTHETIC", "1")
-    monkeypatch.setenv("LIDOG_TPU_SYNTHETIC_SCANS", "4")
+    monkeypatch.setenv("LIDOG_TPU_SYNTHETIC_SCANS", "16")
     monkeypatch.setenv("LIDOG_TPU_SYNTHETIC_POINTS", "1200")
     monkeypatch.setenv("LIDOG_TPU_CAPS_PER_SCAN", "1024")
     monkeypatch.setenv("LIDOG_TPU_GRID_HALF", "128")
@@ -28,7 +28,7 @@ def test_lidog_train_checkpoint_eval_roundtrip(tmp_path, monkeypatch):
     cfg = get_config("/root/repo/configs/lidog/single/synth4d-kitti.yaml")
     cfg.pipeline.epochs = 1
     cfg.pipeline.steps = None
-    cfg.pipeline.dataloader.batch_size = 2
+    cfg.pipeline.dataloader.batch_size = 1  # x8 CPU devices
     cfg.pipeline.save_dir = str(tmp_path / "exp")
     cfg.pipeline.warmup_epochs = 0
     cfg.pipeline.lightning.check_val_every_n_epoch = 10
