@@ -27,7 +27,11 @@ def tiny_synth_env(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
-def test_train_source_parallel_cli(tiny_synth_env):
+def test_train_source_parallel_cli(tiny_synth_env, request):
+    from tests.conftest import run_isolated
+
+    if run_isolated(request):
+        return
     import jax
 
     assert jax.local_device_count() == 8
@@ -51,7 +55,11 @@ def test_train_source_parallel_cli(tiny_synth_env):
 
 
 @pytest.mark.slow
-def test_train_lidog_parallel_cli(tiny_synth_env):
+def test_train_lidog_parallel_cli(tiny_synth_env, request):
+    from tests.conftest import run_isolated
+
+    if run_isolated(request):
+        return
     import jax
 
     from lidog_tpu.cli.train_lidog import train

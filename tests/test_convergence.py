@@ -25,7 +25,11 @@ CAPS = (4096, 4096, 2048, 1024, 512)
 
 
 @pytest.mark.slow
-def test_source_only_learns_synthetic():
+def test_source_only_learns_synthetic(request):
+    from tests.conftest import run_isolated
+
+    if run_isolated(request):
+        return
     ds = SyntheticLidarDataset(num_scans=4, points_per_scan=2500, radius=25.0)
     samples = [
         preprocess_scan(

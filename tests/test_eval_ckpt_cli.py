@@ -15,7 +15,11 @@ from tests.test_torch_import import _fake_state_dict  # noqa: E402
 
 
 @pytest.mark.slow
-def test_eval_target_accepts_torch_ckpt(tmp_path, monkeypatch, rng):
+def test_eval_target_accepts_torch_ckpt(tmp_path, monkeypatch, rng, request):
+    from tests.conftest import run_isolated
+
+    if run_isolated(request):
+        return
     monkeypatch.setenv("LIDOG_TPU_SYNTHETIC", "1")
     monkeypatch.setenv("LIDOG_TPU_SYNTHETIC_SCANS", "4")
     monkeypatch.setenv("LIDOG_TPU_SYNTHETIC_POINTS", "1200")

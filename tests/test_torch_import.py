@@ -67,7 +67,11 @@ def _fake_state_dict(rng):
     return sd
 
 
-def test_import_minkunet34_shapes_and_forward(rng):
+def test_import_minkunet34_shapes_and_forward(rng, request):
+    from tests.conftest import run_isolated
+
+    if run_isolated(request):
+        return
     sd = _fake_state_dict(rng)
     params, stats = import_minkunet34(sd)
 

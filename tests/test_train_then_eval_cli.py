@@ -12,7 +12,11 @@ import pytest
 
 
 @pytest.mark.slow
-def test_lidog_train_checkpoint_eval_roundtrip(tmp_path, monkeypatch):
+def test_lidog_train_checkpoint_eval_roundtrip(tmp_path, monkeypatch, request):
+    from tests.conftest import run_isolated
+
+    if run_isolated(request):
+        return
     monkeypatch.setenv("LIDOG_TPU_SYNTHETIC", "1")
     monkeypatch.setenv("LIDOG_TPU_SYNTHETIC_SCANS", "16")
     monkeypatch.setenv("LIDOG_TPU_SYNTHETIC_POINTS", "1200")
