@@ -63,7 +63,7 @@ class Loader:
                 if self.bev_levels:
                     for lvl in self.bev_levels:
                         out[f"bev_labels_{lvl}{s}"] = np.stack(
-                            [x[key]["bev_labels"][lvl] for x in group]
+                            [g["bev_labels"][lvl] for g in group]
                         )
             return out
         out = collate_padded(samples, self.capacity)

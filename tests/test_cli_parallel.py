@@ -86,3 +86,38 @@ def test_train_lidog_parallel_cli(tiny_synth_env, request):
     assert int(trainer.state.step) == 2
     leaves = jax.tree_util.tree_leaves(trainer.state.params)
     assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
+
+
+@pytest.mark.slow
+def test_train_lidog_multi_source_parallel_cli(tiny_synth_env, request):
+    """Two-source LiDOG (PLTTrainer2DMulti equivalent) under data
+    parallelism: suffix-keyed ('0'/'1') in-graph plans inside shard_map —
+    a combination nothing else exercises."""
+    from tests.conftest import run_isolated
+
+    if run_isolated(request):
+        return
+    import jax
+
+    from lidog_tpu.cli.train_lidog import train
+    from lidog_tpu.config import get_config
+    from lidog_tpu.models.minkunet_bev import bev_head_size
+
+    config = get_config(
+        "configs/lidog/multi/synth4d-kitti-synth4d-nuscenes.yaml"
+    )
+    config.pipeline.epochs = 1
+    config.pipeline.steps = None
+    config.pipeline.dataloader.batch_size = 1
+    config.pipeline.save_dir = str(tiny_synth_env / "exp_lidog_multi")
+    config.pipeline.lightning.check_val_every_n_epoch = 10
+    config.pipeline.warmup_epochs = 0
+    config.pipeline.bound_2d = 10.0
+    config.model.bev_img_sizes = [
+        bev_head_size(10.0, config.source_dataset.voxel_size)
+    ]
+
+    trainer = train(config)
+    assert int(trainer.state.step) == 2
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
