@@ -121,3 +121,34 @@ def test_train_lidog_multi_source_parallel_cli(tiny_synth_env, request):
     assert int(trainer.state.step) == 2
     leaves = jax.tree_util.tree_leaves(trainer.state.params)
     assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
+
+
+@pytest.mark.slow
+def test_train_source_multi_source_cli(tiny_synth_env, request):
+    """Two-source source-only training through the production CLI
+    (MultiSourceDataset + suffix-keyed collation, reference
+    train_source.py:103-108 multi path)."""
+    from tests.conftest import run_isolated
+
+    if run_isolated(request):
+        return
+    import glob
+
+    import jax
+
+    from lidog_tpu.cli.train_source import train
+    from lidog_tpu.config import get_config
+
+    cfgs = glob.glob("configs/source/multi/*.yaml")
+    assert cfgs, "no multi-source source config shipped"
+    config = get_config(sorted(cfgs)[0])
+    config.pipeline.epochs = 1
+    config.pipeline.steps = None
+    config.pipeline.dataloader.batch_size = 1
+    config.pipeline.save_dir = str(tiny_synth_env / "exp_source_multi")
+    config.pipeline.lightning.check_val_every_n_epoch = 10
+
+    trainer = train(config)
+    assert int(trainer.state.step) == 2
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
