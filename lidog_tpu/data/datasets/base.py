@@ -116,16 +116,41 @@ class BaseDataset:
             train=self.phase == "train",
         )
 
-    def get_dataset_stats(self, frac: float = 0.2, rng=None) -> np.ndarray:
-        """Per-class point counts over a sample of scans -> class weights
-        (semantickitti.py:199-213)."""
+    def get_dataset_stats(self, frac: float = 1.0, rng=None) -> np.ndarray:
+        """Per-(mapped)-class point counts over the dataset's scans
+        (semantickitti.py:198-213 — raw counts, ignore label excluded; the
+        reference walks every scan, `frac` allows sampling for speed)."""
         rng = rng or np.random.RandomState(0)
-        counts = np.zeros(self.num_classes, np.int64)
+        counts = np.zeros(self.num_classes, np.float64)
         n = max(1, int(len(self) * frac))
-        for i in rng.choice(len(self), n, replace=False):
+        idxs = (
+            range(len(self))
+            if frac >= 1.0
+            else rng.choice(len(self), n, replace=False)
+        )
+        for i in idxs:
             data = self.get_scan(int(i))
             lab = data["sem_labels"]
             c = np.bincount(lab[lab >= 0], minlength=self.num_classes)
             counts += c[: self.num_classes]
-        total = counts.sum()
-        return (counts / max(total, 1)).astype(np.float32)
+        return counts.astype(np.float32)
+
+    def get_sem_weights(self) -> np.ndarray:
+        """Per-class frequency weights, resolved lazily (the reference does
+        this in each dataset __init__, semantickitti.py:80-91 /
+        synth4d.py:85-96): load the cached `weights_path` .npy if present,
+        else compute get_dataset_stats() and save it there.  Consumed by
+        CoSMix's weighted class sampling (cosmix.py:108-112)."""
+        if self.sem_weights is not None:
+            return self.sem_weights
+        wp = self.weights_path
+        if wp and os.path.isfile(wp):
+            self.sem_weights = (
+                np.load(wp, allow_pickle=True).item().get("weights")
+            )
+            return self.sem_weights
+        self.sem_weights = self.get_dataset_stats()
+        if wp:
+            os.makedirs(os.path.dirname(wp) or ".", exist_ok=True)
+            np.save(wp, {"weights": self.sem_weights})
+        return self.sem_weights

@@ -108,6 +108,9 @@ def get_dataset(
 
     p = paths[base_name]
     root = p["data_path"]
+    # Class-frequency weights cache (reference initialization.py:58,75
+    # feeds `weights_path` to every dataset; CoSMix consumes the stats).
+    kw["weights_path"] = p.get("weights_path")
 
     def build(cls, **extra):
         train = cls(

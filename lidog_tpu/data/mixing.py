@@ -101,13 +101,20 @@ class CosMixSourceDataset(_MixBase):
         super().__init__(source0, source1, seed)
         self.sub_p = sub_p
         self.augmentations = augmentations
-        # Per-dataset class frequencies (semantic weights).
-        self.weights0 = getattr(source0, "sem_weights", None)
-        self.weights1 = getattr(source1, "sem_weights", None)
-        if self.weights0 is None:
-            self.weights0 = np.ones(7, np.float32) / 7
-        if self.weights1 is None:
-            self.weights1 = np.ones(7, np.float32) / 7
+        # Per-dataset class frequencies (semantic weights) — resolved via
+        # BaseDataset.get_sem_weights (weights_path cache or a stats pass),
+        # matching the reference where initialization.py feeds weights_path
+        # into each dataset and cosmix.py:108-112 samples classes by them.
+        self.weights0 = self._weights_of(source0)
+        self.weights1 = self._weights_of(source1)
+
+    @staticmethod
+    def _weights_of(source):
+        get = getattr(source, "get_sem_weights", None)
+        w = get() if callable(get) else getattr(source, "sem_weights", None)
+        if w is None:
+            w = np.ones(7, np.float32)
+        return np.asarray(w, np.float32)
 
     def __getitem__(self, i):
         d0, d1 = self._get_pair(i)

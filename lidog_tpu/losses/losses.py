@@ -208,43 +208,64 @@ class FocalLoss:
         return jnp.sum(focal * m) / jnp.maximum(jnp.sum(m), 1e-12)
 
 
-def _covariance_penalty(feats, mask, margin=None, off_diag_only=True):
-    """Whitening penalty on the feature covariance of instance-normalized
-    sparse features (reference IW/IRW losses, losses.py:439-485).
+def _per_row_offdiag_abs(feats, mask):
+    """Per-row strict-upper-triangular |outer product| sums.
 
-    feats [N, C] (already instance-normalized), mask [N].  Penalizes
-    off-diagonal covariance energy; with `margin`, only the excess above the
-    margin (relaxed whitening)."""
-    m = mask.astype(jnp.float32)[:, None]
-    f = feats.astype(jnp.float32) * m
-    n = jnp.maximum(jnp.sum(m), 1.0)
-    cov = (f.T @ f) / n
-    c = cov.shape[0]
-    eye = jnp.eye(c)
-    off = cov * (1.0 - eye)
-    num_off = c * (c - 1)
-    energy = jnp.sum(off * off) / num_off
-    if margin is not None:
-        energy = jnp.maximum(energy - margin, 0.0)
-    return energy
+    The reference feeds [N, C] sparse features into `get_covariance_matrix`
+    (losses.py:464-485), which reshapes to [N, C, 1] and bmm's — so each
+    "covariance" is the PER-ROW outer product f_i f_i^T, and the masked
+    |sum| over the strict upper triangle (`CovMatrix_IRW.reversal_i`,
+    models/cov_settings.py:14) is
+
+        s_i = sum_{c<c'} |f_ic| |f_ic'| = ((sum_c |f_ic|)^2 - sum_c f_ic^2)/2
+
+    computed here without materializing [N, C, C].  The eps*eye term only
+    touches the diagonal, which the strict-upper mask removes.  Masked rows
+    contribute s_i = 0.  Returns (s [N], n_valid)."""
+    m = mask.astype(jnp.float32)
+    f = feats.astype(jnp.float32) * m[:, None]
+    a = jnp.sum(jnp.abs(f), axis=1)
+    b = jnp.sum(f * f, axis=1)
+    s = 0.5 * (a * a - b)
+    return s, jnp.maximum(jnp.sum(m), 2.0)
 
 
 @dataclasses.dataclass
 class IWLoss:
-    """Instance whitening loss (losses.py:464-485)."""
+    """Instance whitening loss — matches the reference's EFFECTIVE math
+    (losses.py:464-485 applied to [N, C] sparse features):
+
+        IW = (1 / (N (N-1))) sum_i sum_{c<c'} |f_ic f_ic'|
+
+    (per-row outer products abs-summed over the strict upper triangle,
+    divided by (N-1) in get_covariance_matrix and by N=BN in forward)."""
 
     def __call__(self, feats, mask):
-        return _covariance_penalty(feats, mask)
+        s, n = _per_row_offdiag_abs(feats, mask)
+        return jnp.sum(s) / ((n - 1.0) * n)
 
 
 @dataclasses.dataclass
 class IRWLoss:
-    """Instance relaxed whitening loss (losses.py:439-461)."""
+    """Instance relaxed whitening loss (losses.py:439-461): per row,
 
-    margin: float = 0.0
+        loss_i = max((s_i / (N-1) - margin) / num_off, 0)
+
+    with margin = floor(num_off / relax_denom), num_off = C(C-1)/2 (the
+    `CovMatrix_IRW(relax_denom=2.0)` machinery, cov_settings.py:4-23 +
+    trainer_lighting_robustnet.py:66), averaged over rows."""
+
+    relax_denom: float = 2.0
 
     def __call__(self, feats, mask):
-        return _covariance_penalty(feats, mask, margin=self.margin)
+        s, n = _per_row_offdiag_abs(feats, mask)
+        c = feats.shape[1]
+        num_off = c * (c - 1) / 2.0
+        margin = jnp.floor(num_off / self.relax_denom) if self.relax_denom else 0.0
+        per_row = jnp.maximum((s / (n - 1.0) - margin) / num_off, 0.0)
+        # masked rows have s=0 -> max(-margin/num_off, 0) = 0: no masking
+        # term needed in the sum.
+        return jnp.sum(per_row) / n
 
 
 _REGISTRY = {

@@ -1,0 +1,338 @@
+"""Column-fused (z-fused) sparse convolution — 9 gathers instead of 27.
+
+The round-3 structural answer to the gather wall.  XLA TPU row gathers are
+DESCRIPTOR-RATE bound (~4-8 ns per row regardless of row width up to
+~192 B, benchmarks/micro/micro_gather.py), so the only way to speed a
+sparse conv up is to need FEWER GATHERED ROWS — not cheaper ones.
+
+In canonical (b, x, y, z) order, voxels of one (b, x, y) column sit in
+consecutive rows.  A k=3 hypercube conv therefore factors by xy-offset:
+
+    out[i] = sum_{dxy in 3x3} u_dxy[ row of (x+dx, y+dy, z) ]
+    u_dxy[j] = W[dxy,-1] @ x[j_prev] + W[dxy,0] @ x[j] + W[dxy,+1] @ x[j_next]
+
+where j_prev/j_next are the PHYSICALLY ADJACENT rows when they hold the
+z-1 / z+1 cell of the same column (boolean shift masks, no gather).  The
+three z-taps per xy-offset become shift+GEMM (contiguous VPU/MXU work);
+only the 9 xy lookups remain as row gathers: 27 -> 9 descriptors per
+output row, exactly.
+
+Exactness needs one structural addition: a gather target (x+dx, y+dy, z)
+can be EMPTY while its column holds voxels at z+-1 (whose taps the
+reference conv, ME.MinkowskiConvolution, still applies).  The plan
+therefore augments each level with GHOST rows at such locations (free,
+z+-1 occupied, and some real voxel at the same z within xy distance 1 —
+the exact condition for the location to be a nonzero gather target;
+measured +45%/+32%/<=10% rows at levels 0/1/2+ on ring-structured scans).
+Ghost rows carry zero features (every op masks its output with the real
+mask) but hold valid u values, making the 9-gather factorization exact.
+
+Strided convs do NOT z-fuse (fusing their z∈{0,1} taps would require
+ghosts at every even-z gap, roughly doubling the augmentation); instead
+they exploit that down<->up taps form a partial function on FINE rows —
+each fine row has exactly one (parent, fine-in-coarse offset) pair:
+
+  * down k=2 s=2: forward = 8-tap gather-GEMM over the (small) coarse
+    output rows; backward dIn = ONE parent gather + one-hot weight select
+    (was 8 gathers over the large fine level).
+  * up (transposed): forward = ONE parent gather + one-hot select (was
+    8); backward dIn = the down-style 8-tap gather of dout with
+    transposed weights.
+
+Both directions recompute the cheap parent gather for dW (transpose-reuse:
+no stored gathers, no scatters anywhere).
+
+Reference being replaced: ME.MinkowskiConvolution / ...Transpose as used
+by utils/models/minkunet.py:26-92 (gather-GEMM-scatter CUDA engine).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.dtypes
+import jax.numpy as jnp
+import numpy as np
+
+
+def _shift_next(x, zup):
+    """x[j+1] where row j+1 is the z+1 cell of the same column, else 0."""
+    nxt = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+    return nxt * zup[:, None].astype(x.dtype)
+
+
+def _shift_prev(x, zdn):
+    prv = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+    return prv * zdn[:, None].astype(x.dtype)
+
+
+def _gather_rows(u, idx):
+    hit = idx >= 0
+    return u[jnp.maximum(idx, 0)] * hit[:, None].astype(u.dtype)
+
+
+def _zcat(x, zup, zdn):
+    """[Na, 3*Cin] = [x_prev | x | x_next] (z taps -1, 0, +1)."""
+    return jnp.concatenate(
+        [_shift_prev(x, zdn), x, _shift_next(x, zup)], axis=1
+    )
+
+
+def _zcat_t(d3, zup, zdn):
+    """Transpose of _zcat: fold a [Na, 3*Cin] cotangent back onto x rows.
+
+    x_prev[j] = x[j-1]*zdn[j]  =>  dx[j] += dprev[j+1]*zdn[j+1];
+    x_next[j] = x[j+1]*zup[j]  =>  dx[j] += dnext[j-1]*zup[j-1].
+    """
+    cin = d3.shape[1] // 3
+    dprev, dmid, dnext = d3[:, :cin], d3[:, cin : 2 * cin], d3[:, 2 * cin :]
+    dp = dprev * zdn[:, None].astype(d3.dtype)
+    dn = dnext * zup[:, None].astype(d3.dtype)
+    dx = dmid
+    dx = dx + jnp.concatenate([dp[1:], jnp.zeros_like(dp[:1])], axis=0)
+    dx = dx + jnp.concatenate([jnp.zeros_like(dn[:1]), dn[:-1]], axis=0)
+    return dx
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll):
+    """x [Na, Cin]; nbr [9, Na]; wf [9, 3*Cin, Cout] (xy lexicographic,
+    z taps ordered -1, 0, +1 along the 3*Cin axis)."""
+    xc = _zcat(x, zup, zdn)
+    n_out = nbr.shape[1]
+    cout = wf.shape[2]
+
+    def body(acc, xs):
+        nbr_d, w_d = xs
+        u = jnp.dot(xc, w_d, preferred_element_type=accum_dtype).astype(
+            xc.dtype
+        )
+        return acc + _gather_rows(u, nbr_d).astype(accum_dtype), None
+
+    acc0 = jnp.zeros((n_out, cout), accum_dtype)
+    acc, _ = jax.lax.scan(body, acc0, (nbr, wf), unroll=unroll)
+    return acc.astype(x.dtype)
+
+
+def _zconv3_fwd(x, nbr, zup, zdn, wf, accum_dtype, unroll):
+    out = _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll)
+    return out, (x, nbr, zup, zdn, wf)
+
+
+def _zconv3_bwd(accum_dtype, unroll, res, dout):
+    """One gather pass feeds BOTH dx and dW (transpose-reuse).
+
+    The 3x3 xy-offset set is symmetric, so the gather transpose of offset
+    d is the gather at offset rev(d) = 8-d.  Scanning e = rev(d) pairs
+    gather(dout, nbr[e]) with wf[8-e]^T — i.e. the UNREVERSED map axis
+    against the reversed+transposed weight axis (same convention as
+    ops.sparse_conv):
+      dxc       += gather(dout, nbr[e]) @ wf[8-e]^T
+      dW[8-e]    = xc^T @ gather(dout, nbr[e])
+    then dx = zcat^T(dxc).
+    """
+    x, nbr, zup, zdn, wf = res
+    na = x.shape[0]
+    cin3 = wf.shape[1]
+    xc = _zcat(x, zup, zdn)
+    wt = jnp.transpose(wf[::-1], (0, 2, 1))  # [9, Cout, 3Cin]
+    dout = dout.astype(x.dtype)
+
+    def body(acc, xs):
+        nbr_e, wt_e = xs
+        g = _gather_rows(dout, nbr_e)  # [Na, Cout]
+        dxc = jnp.dot(g, wt_e, preferred_element_type=accum_dtype)
+        dw = jnp.einsum(
+            "nc,nd->cd",
+            xc.astype(jnp.float32),
+            g.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # [3Cin, Cout] for offset 8-e
+        return acc + dxc, dw
+
+    acc0 = jnp.zeros((na, cin3), accum_dtype)
+    dxc, dw_rev = jax.lax.scan(body, acc0, (nbr, wt), unroll=unroll)
+    dx = _zcat_t(dxc.astype(x.dtype), zup, zdn)
+    dwf = dw_rev[::-1].astype(wf.dtype)
+    return (
+        dx,
+        np.zeros(nbr.shape, jax.dtypes.float0),
+        np.zeros(zup.shape, jax.dtypes.float0),
+        np.zeros(zdn.shape, jax.dtypes.float0),
+        dwf,
+    )
+
+
+_zconv3_core.defvjp(_zconv3_fwd, _zconv3_bwd)
+
+
+def zconv3(x, nbr9, zup, zdn, weights, *, out_mask=None,
+           accum_dtype=jnp.float32, unroll: int = 3):
+    """k=3 column-fused sparse conv on an augmented level.
+
+    x:       [Na, Cin]  features in augmented canonical order (ghost rows
+             must be zero — guaranteed when every producer masks with the
+             real mask).
+    nbr9:    [9, Na] int32 — row of (x+dx, y+dy, z) in the augmented
+             table per xy offset (lexicographic dx, dy), -1 if absent.
+    zup/zdn: [Na] bool — row j+1 / j-1 holds z+1 / z-1 of the same column.
+    weights: [27, Cin, Cout] in the plan's lexicographic (dx, dy, dz)
+             enumeration (dz fastest) — the SAME layout as the gather-GEMM
+             conv, so parameters interchange between engines.
+    out_mask: [Na] bool — the level's REAL mask; zeroes ghost/pad rows.
+    """
+    k, cin, cout = weights.shape
+    assert k == 27, "zconv3 is the k=3 hypercube primitive"
+    # [9, 3, Cin, Cout] -> [9, 3*Cin, Cout]; the plan enumerates dz
+    # fastest, so axis 1 groups exactly as _zcat's (z-1, z, z+1) taps.
+    wf = weights.reshape(9, 3, cin, cout).reshape(9, 3 * cin, cout)
+    out = _zconv3_core(x, nbr9, zup, zdn, wf, accum_dtype, unroll)
+    if out_mask is not None:
+        out = out * out_mask[:, None].astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Strided pair: down (k=2 s=2) and its transpose (up).
+# ---------------------------------------------------------------------------
+
+
+def _onehot_matmuls(g, off_id, ws, accum_dtype, transpose=False):
+    """sum_o (off_id == o) * (g @ ws[o](^T)) — per-row weight select."""
+    n = g.shape[0]
+    cout = ws.shape[1] if transpose else ws.shape[2]
+    out = jnp.zeros((n, cout), accum_dtype)
+    for o in range(ws.shape[0]):
+        sel = (off_id == o).astype(g.dtype)[:, None]
+        w = ws[o].T if transpose else ws[o]
+        out = out + jnp.dot(g * sel, w, preferred_element_type=accum_dtype)
+    return out
+
+
+def _onehot_dw(x, g, off_id, k8):
+    """dW[o] = x^T @ (g masked to off_id == o)  — [k8, Cin, Cout]."""
+    dws = []
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    for o in range(k8):
+        sel = (off_id == o).astype(jnp.float32)[:, None]
+        dws.append(
+            jnp.einsum(
+                "nc,nd->cd", xf, gf * sel, preferred_element_type=jnp.float32
+            )
+        )
+    return jnp.stack(dws)
+
+
+def _down_loop(x, nbr8, w8, accum_dtype, unroll):
+    """out[I] = sum_k x[nbr8[k, I]] @ w8[k] — plain gather-GEMM."""
+    n_out = nbr8.shape[1]
+    cout = w8.shape[2]
+
+    def body(acc, xs):
+        nbr_k, w_k = xs
+        g = _gather_rows(x, nbr_k)
+        return acc + jnp.dot(g, w_k, preferred_element_type=accum_dtype), None
+
+    acc0 = jnp.zeros((n_out, cout), accum_dtype)
+    acc, _ = jax.lax.scan(body, acc0, (nbr8, w8), unroll=unroll)
+    return acc
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll, w8):
+    return _down_loop(x, nbr8, w8, accum_dtype, unroll).astype(x.dtype)
+
+
+def _zdown_fwd(x, nbr8, parent, off_id, accum_dtype, unroll, w8):
+    out = _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll, w8)
+    return out, (x, nbr8, parent, off_id, w8)
+
+
+def _zdown_bwd(accum_dtype, unroll, res, dout):
+    """Each fine row j feeds exactly one tap of one coarse output — its
+    parent at its fine-in-coarse offset — so
+
+        dx[j]  = dout[parent[j]] @ W[off_id[j]]^T   (1 gather, was 8)
+        dW[o]  = x^T @ (dout[parent] masked to off_id == o)
+    """
+    x, nbr8, parent, off_id, w8 = res
+    dout = dout.astype(x.dtype)
+    g = _gather_rows(dout, parent)  # [Naf, Cout]
+    dx = _onehot_matmuls(g, off_id, w8, accum_dtype, transpose=True)
+    dw8 = _onehot_dw(x, g, off_id, w8.shape[0])
+    return (
+        dx.astype(x.dtype),
+        np.zeros(nbr8.shape, jax.dtypes.float0),
+        np.zeros(parent.shape, jax.dtypes.float0),
+        np.zeros(off_id.shape, jax.dtypes.float0),
+        dw8.astype(w8.dtype),
+    )
+
+
+_zdown_core.defvjp(_zdown_fwd, _zdown_bwd)
+
+
+def zconv_down(x, nbr8, parent, off_id, weights, *, out_mask=None,
+               accum_dtype=jnp.float32, unroll: int = 4):
+    """k=2 s=2 strided conv: 8-tap gather-GEMM forward over the (small)
+    coarse outputs; 1-gather backward via the parent map.
+
+    x: [Naf, Cin] fine features.  nbr8: [8, Nac] ({0,s}^3 enumeration, dz
+    fastest).  parent/off_id: [Naf] — parent coarse row and fine-in-coarse
+    offset id (dx*4 + dy*2 + dz) per fine row.  weights: [8, Cin, Cout].
+    """
+    out = _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll, weights)
+    if out_mask is not None:
+        out = out * out_mask[:, None].astype(out.dtype)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll, w8):
+    """out[j] = x[parent[j]] @ W[off_id[j]] — 1 gather + one-hot select."""
+    g = _gather_rows(x, parent)
+    return _onehot_matmuls(g, off_id, w8, accum_dtype).astype(x.dtype)
+
+
+def _zup_fwd(x, parent, off_id, nbr8, accum_dtype, unroll, w8):
+    out = _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll, w8)
+    return out, (x, parent, off_id, nbr8, w8)
+
+
+def _zup_bwd(accum_dtype, unroll, res, dout):
+    """Transpose of the up conv = the down-style 8-tap gather of dout with
+    transposed weights: dx[I] = sum_k dout[nbr8[k, I]] @ W[k]^T.
+    dW[o] reuses the (recomputed) parent gather of x."""
+    x, parent, off_id, nbr8, w8 = res
+    dout = dout.astype(x.dtype)
+    wt = jnp.transpose(w8, (0, 2, 1))
+    dx = _down_loop(dout, nbr8, wt, accum_dtype, unroll).astype(x.dtype)
+    g = _gather_rows(x, parent)
+    dw8 = _onehot_dw(g, dout, off_id, w8.shape[0])
+    return (
+        dx,
+        np.zeros(parent.shape, jax.dtypes.float0),
+        np.zeros(off_id.shape, jax.dtypes.float0),
+        np.zeros(nbr8.shape, jax.dtypes.float0),
+        dw8.astype(w8.dtype),
+    )
+
+
+_zup_core.defvjp(_zup_fwd, _zup_bwd)
+
+
+def zconv_up(x, parent, off_id, nbr8, weights, *, out_mask=None,
+             accum_dtype=jnp.float32, unroll: int = 4):
+    """Transposed k=2 s=2 conv: 1 parent gather + one-hot weight select
+    (was 8 bucketed gathers over the large fine level).
+
+    x: [Nac, Cin] coarse features.  parent/off_id: [Naf].  nbr8: the DOWN
+    map at this level pair [8, Nac] (used by the backward).
+    weights: [8, Cin, Cout], {0, s}^3 enumeration.
+    """
+    out = _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll, weights)
+    if out_mask is not None:
+        out = out * out_mask[:, None].astype(out.dtype)
+    return out

@@ -81,7 +81,9 @@ def make_robustnet_train_step(
                 sem, aux, stats, cm_s = fwd(params, stats, suf)
                 w = 1.0 if num_sources == 1 else source_weights[s]
                 total = total + w * sem
-                aux_total = aux_total + aux / len(suffixes)
+                # Reference sums per-source aux losses UNWEIGHTED
+                # (trainer_lighting_robustnet.py:139: 0.5*(aux0+aux1)).
+                aux_total = aux_total + aux
                 cm = cm + cm_s
             total = total + gate * aux_weight * aux_total
             return total, (stats, cm, {"aux_loss": aux_total})

@@ -128,18 +128,55 @@ def test_soft_ce_bev(rng):
     assert abs(got - expect) < 1e-4
 
 
-def test_iw_loss_zero_for_whitened(rng):
+def _torch_iw_irw(f, relax_denom=None):
+    """The reference's EFFECTIVE IW/IRW forward on [N, C] sparse features
+    (losses.py:439-485 + cov_settings.py:4-23): get_covariance_matrix
+    reshapes [N, C] -> [N, C, 1], bmm gives PER-ROW outer products / (N-1)
+    + eps*eye, masked by the strict upper triangle, abs-summed per row."""
+    fm = torch.tensor(f)
+    bn, c = fm.shape
+    eye = torch.eye(c)
+    rev = torch.ones(c, c).triu(diagonal=1)
+    fr = fm.view(bn, c, 1)
+    cov = torch.bmm(fr, fr.transpose(1, 2)).div(bn - 1) + 1e-5 * eye
+    masked = cov * rev
+    off = torch.sum(torch.abs(masked), dim=(1, 2), keepdim=True)
+    if relax_denom is None:
+        return float(torch.sum(off) / bn)
+    num_off = torch.sum(rev)
+    margin = num_off // relax_denom
+    loss = torch.clamp(torch.div(off - margin, num_off), min=0)
+    return float(torch.sum(loss) / bn)
+
+
+def test_iw_matches_reference_effective_math(rng):
     n, cdim = 400, 8
-    # Perfectly decorrelated features -> near-zero whitening penalty.
-    f = rng.randn(n, cdim).astype(np.float32)
-    q, _ = np.linalg.qr(f)
-    white = (q * np.sqrt(n)).astype(np.float32)
+    f = rng.randn(n, cdim).astype(np.float32) * 3
     mask = np.ones(n, bool)
-    val = float(IWLoss()(jnp.asarray(white), jnp.asarray(mask)))
-    assert val < 1e-6
-    corr = np.repeat(rng.randn(n, 1).astype(np.float32), cdim, 1)
-    val2 = float(IWLoss()(jnp.asarray(corr), jnp.asarray(mask)))
-    assert val2 > 0.1
+    got = float(IWLoss()(jnp.asarray(f), jnp.asarray(mask)))
+    expect = _torch_iw_irw(f)
+    assert abs(got - expect) / expect < 1e-5
+
+    # masked rows == row removal
+    mask2 = rng.rand(n) > 0.3
+    f2 = f.copy()
+    got2 = float(IWLoss()(jnp.asarray(f2), jnp.asarray(mask2)))
+    expect2 = _torch_iw_irw(f[mask2])
+    assert abs(got2 - expect2) / expect2 < 1e-5
+
+
+def test_irw_matches_reference_effective_math(rng):
+    from lidog_tpu.losses import IRWLoss
+
+    n, cdim = 300, 8
+    # scale up so some rows exceed the margin and some don't (exercises the
+    # per-row clamp)
+    f = rng.randn(n, cdim).astype(np.float32) * 40
+    mask = np.ones(n, bool)
+    got = float(IRWLoss(relax_denom=2.0)(jnp.asarray(f), jnp.asarray(mask)))
+    expect = _torch_iw_irw(f, relax_denom=2.0)
+    assert expect > 0
+    assert abs(got - expect) / expect < 1e-5
 
 
 def test_miou_matches_sklearn(rng):
