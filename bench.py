@@ -34,6 +34,10 @@ POINTS = 100_000
 VOXEL = 0.05
 RADIUS = 50.0
 CAPS = (393_216, 196_608, 98_304, 32_768, 12_288)
+# zseg engine (round 3): PER-SCAN real/augmented capacities, sized from
+# ring-scan stats * ~1.15 headroom (overflow 0 at bench scale).
+ZCAPS_R = (92_160, 61_440, 22_528, 9_216, 3_584)
+ZCAPS_A = (139_264, 86_016, 26_624, 10_752, 4_608)
 STEPS = 10
 
 
@@ -46,7 +50,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from lidog_tpu.core.plan import build_unet_plan, input_tensor
+    from lidog_tpu.core.engine import input_tensor
     from lidog_tpu.data.synthetic import SyntheticLidarDataset
     from lidog_tpu.losses import SoftDICELoss
     from lidog_tpu.models import MinkUNet34
@@ -68,7 +72,15 @@ def main():
         "LIDOG_TPU_BENCH_DTYPE", "bfloat16"
     ) == "bfloat16" else jnp.float32
     model = MinkUNet34(in_channels=1, out_channels=7, compute_dtype=dtype)
-    builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
+    engine = os.environ.get("LIDOG_TPU_ENGINE", "zseg")
+    if engine == "zseg":
+        from lidog_tpu.core.zseg import ZSegPlanBuilder
+
+        builder = jax.jit(ZSegPlanBuilder(
+            ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024
+        ))
+    else:
+        builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
     batch0 = device_batch_from_points(pts_d, valid_d, labels_d, VOXEL, CAPS[0])
     plan0 = builder(batch0["coords"], batch0["mask"])
     x0 = input_tensor(plan0, batch0["feats"])

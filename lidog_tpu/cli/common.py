@@ -19,19 +19,77 @@ from lidog_tpu.config import Config, get_config
 
 DEFAULT_CAPS_PER_SCAN = int(os.environ.get("LIDOG_TPU_CAPS_PER_SCAN", "131072"))
 LEVEL_SHRINK = (1.0, 0.55, 0.3, 0.12, 0.05)  # empirical LiDAR compression
+# zseg engine sizing: per-level shrink = elementwise max of the old
+# estimate and the ring-generator measurement (1.0/0.67/0.23/0.09/0.04);
+# aug factor covers the measured ghost rates (+45%/+32%/<=10%) + headroom.
+ZSEG_SHRINK = (1.0, 0.72, 0.30, 0.13, 0.055)
+ZSEG_AUG = (1.55, 1.45, 1.25, 1.25, 1.3)
+# Measured HBM budget: the LiDOG (BEV) model at batch 4 on a 16 GB v5e
+# fits only up to ~98304 voxels/scan (round-2 measurement).
+BEV_HBM_SAFE_PER_SCAN = 98304
+
+
+def _rup(x, m=2048):
+    return int(-(-x // m) * m)
 
 
 def make_caps(batch_size: int, per_scan: int = DEFAULT_CAPS_PER_SCAN):
-    """Per-level voxel capacities.  LIDOG_TPU_CAPS_PER_SCAN tunes the
-    stride-1 bucket; the 131072 default is roomy for raw 120k-pt scans.
-    NB on v5e-16GB: the LiDOG (BEV) model at batch 4 needs <= ~98304/scan
-    to fit HBM (matches real data after the reference's sub_p=0.8)."""
+    """Per-level POOLED voxel capacities (round-2 gather engine).
+    LIDOG_TPU_CAPS_PER_SCAN tunes the stride-1 bucket; the 131072 default
+    is roomy for raw 120k-pt scans."""
     base = batch_size * per_scan
+    return tuple(_rup(base * f) for f in LEVEL_SHRINK)
 
-    def rup(x, m=2048):
-        return int(-(-x // m) * m)
 
-    return tuple(rup(base * f) for f in LEVEL_SHRINK)
+def make_zcaps(per_scan: int = DEFAULT_CAPS_PER_SCAN):
+    """(caps_real, caps_aug) PER-SCAN capacities for the zseg engine."""
+    caps_r = tuple(_rup(per_scan * f) for f in ZSEG_SHRINK)
+    caps_a = tuple(_rup(per_scan * f * a) for f, a in zip(ZSEG_SHRINK, ZSEG_AUG))
+    return caps_r, caps_a
+
+
+def make_plan_builder(config, batch_size: int,
+                      per_scan: int = DEFAULT_CAPS_PER_SCAN):
+    """(plan_builder, pooled_caps) honoring LIDOG_TPU_ENGINE:
+    'zseg' (default) — segmented z-fused engine (core.zseg);
+    'gather' — round-2 pooled gather-GEMM engine (core.plan_bitgrid).
+
+    Also the cap-safety gate: logs the chosen caps and warns when the BEV
+    model is selected with per-scan caps above the measured HBM budget."""
+    engine = os.environ.get("LIDOG_TPU_ENGINE", "zseg")
+    gh = int(os.environ.get("LIDOG_TPU_GRID_HALF", "1024"))
+    caps = make_caps(batch_size, per_scan)
+    model_name = getattr(config.model, "name", "")
+    if "BEV" in model_name and per_scan > BEV_HBM_SAFE_PER_SCAN:
+        print(
+            f"[warn] caps: {per_scan} voxels/scan exceeds the measured "
+            f"16 GB-HBM budget for {model_name} at batch 4 "
+            f"(<= {BEV_HBM_SAFE_PER_SCAN}); set LIDOG_TPU_CAPS_PER_SCAN or "
+            "expect device OOM."
+        )
+    if engine == "zseg" and config.model.in_channels != 1:
+        print(
+            "[warn] zseg engine supports the occupancy stem only "
+            "(in_channels == 1); falling back to the gather engine."
+        )
+        engine = "gather"
+    if engine == "zseg":
+        from lidog_tpu.core.zseg import ZSegPlanBuilder
+
+        caps_r, caps_a = make_zcaps(per_scan)
+        print(f"[caps] engine=zseg per-scan real={caps_r} aug={caps_a}")
+        builder = ZSegPlanBuilder(
+            caps_r, caps_a, num_batches=batch_size, grid_half=gh
+        )
+    else:
+        from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
+
+        print(f"[caps] engine=gather pooled={caps}")
+        builder = BitPlanBuilder(
+            caps, num_batches=batch_size, grid_half=gh,
+            stem_mode="occupancy" if config.model.in_channels == 1 else "map",
+        )
+    return builder, caps
 
 
 def train_argparser() -> argparse.ArgumentParser:

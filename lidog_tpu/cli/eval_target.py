@@ -16,7 +16,7 @@ import os
 from lidog_tpu.cli.common import (
     build_target_datasets,
     eval_argparser,
-    make_caps,
+    make_plan_builder,
     run_name_of,
     seed_everything,
     setup_jax,
@@ -29,7 +29,7 @@ def evaluate(config, resume_checkpoint, save_predictions=False):
     jax = setup_jax()
     import jax.numpy as jnp
 
-    from lidog_tpu.core.plan import build_unet_plan, input_tensor
+    from lidog_tpu.core.engine import input_tensor
     from lidog_tpu.models.registry import get_model
     from lidog_tpu.train import TrainState, make_optimizer
     from lidog_tpu.train.loader import Loader
@@ -37,13 +37,7 @@ def evaluate(config, resume_checkpoint, save_predictions=False):
 
     seed_everything(config.pipeline.seed)
     batch_size = config.pipeline.dataloader.batch_size * 2  # eval_target.py:119-151
-    caps = make_caps(batch_size)
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
-
-    plan_builder = BitPlanBuilder(
-        caps, num_batches=batch_size,
-        stem_mode="occupancy" if config.model.in_channels == 1 else "map",
-    )
+    plan_builder, caps = make_plan_builder(config, batch_size)
 
     targets = build_target_datasets(config)
     model = get_model(config, num_batches=batch_size)

@@ -15,7 +15,7 @@ import os
 
 from lidog_tpu.cli.common import (
     build_source_datasets,
-    make_caps,
+    make_plan_builder,
     make_criterion,
     run_name_of,
     seed_everything,
@@ -29,7 +29,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     jax = setup_jax()
     import jax.numpy as jnp
 
-    from lidog_tpu.core.plan import build_unet_plan, input_tensor
+    from lidog_tpu.core.engine import input_tensor
     from lidog_tpu.data.mixing import (
         CosMixSourceDataset,
         Mix3DSourceDataset,
@@ -47,7 +47,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
 
     seed_everything(config.pipeline.seed)
     batch_size = config.pipeline.dataloader.batch_size
-    caps = make_caps(batch_size)
+    plan_builder, caps = make_plan_builder(config, batch_size)
     # Data-parallel over all visible devices (the reference enables DDP +
     # SyncBN when len(pipeline.gpus) > 1, train_lidog.py:227-231); here a
     # 1-D data mesh with grads/BN-stats psum over ICI.  batch_size is
@@ -55,13 +55,6 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     n_devices = jax.local_device_count()
     parallel = n_devices > 1
     axis_name = DATA_AXIS if parallel else None
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
-
-    plan_builder = BitPlanBuilder(
-        caps, num_batches=batch_size,
-        grid_half=int(os.environ.get("LIDOG_TPU_GRID_HALF", "1024")),
-        stem_mode="occupancy" if config.model.in_channels == 1 else "map",
-    )
     # Under shard_map the plan is built in-graph; LIDOG_TPU_PLAN=generic
     # swaps in the fused sort-based builder (fast to compile at tiny test
     # caps; the bitgrid builder is the production default).

@@ -13,7 +13,7 @@ import os
 
 from lidog_tpu.cli.common import (
     build_source_datasets,
-    make_caps,
+    make_plan_builder,
     make_criterion,
     run_name_of,
     seed_everything,
@@ -28,7 +28,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     jax = setup_jax()
     import jax.numpy as jnp
 
-    from lidog_tpu.core.plan import build_unet_plan, input_tensor
+    from lidog_tpu.core.engine import input_tensor
     from lidog_tpu.data.multi_source import MultiSourceDataset
     from lidog_tpu.losses import IWLoss, get_loss
     from lidog_tpu.models.registry import get_model
@@ -44,7 +44,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     sources = sources_of(config)
     num_sources = len(sources)
     batch_size = config.pipeline.dataloader.batch_size
-    caps = make_caps(batch_size)
+    plan_builder, caps = make_plan_builder(config, batch_size)
     # Data-parallel over all visible devices (the reference enables DDP +
     # SyncBN when len(pipeline.gpus) > 1, train_lidog.py:227-231); here a
     # 1-D data mesh with grads/BN-stats psum over ICI.  batch_size is
@@ -52,13 +52,6 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     n_devices = jax.local_device_count()
     parallel = n_devices > 1
     axis_name = DATA_AXIS if parallel else None
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
-
-    plan_builder = BitPlanBuilder(
-        caps, num_batches=batch_size,
-        grid_half=int(os.environ.get("LIDOG_TPU_GRID_HALF", "1024")),
-        stem_mode="occupancy" if config.model.in_channels == 1 else "map",
-    )
     # Under shard_map the plan is built in-graph; LIDOG_TPU_PLAN=generic
     # swaps in the fused sort-based builder (fast to compile at tiny test
     # caps; the bitgrid builder is the production default).

@@ -1,0 +1,59 @@
+"""Engine dispatch: one call surface over the two kernel-map engines.
+
+Two plan families coexist:
+  * UNetPlan (core.plan / plan_staged / plan_bitgrid) — round-2 pooled
+    gather-GEMM engine (27-tap maps, `perm` canonicalization);
+  * ZPlan (core.zseg) — round-3 segmented z-fused engine (9-tap maps,
+    ghost-augmented levels, scatter canonicalization).
+
+Models and train steps are engine-agnostic through these helpers; the
+engine is chosen where the plan builder is constructed (cli.common,
+LIDOG_TPU_ENGINE env: 'zseg' default, 'gather' for the round-2 engine).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lidog_tpu.core.plan import UNetPlan, input_tensor as _input_gather
+from lidog_tpu.core.zseg import ZPlan, input_tensor_z
+
+
+def is_zplan(plan) -> bool:
+    return isinstance(plan, ZPlan)
+
+
+def input_tensor(plan, feats):
+    """Caller-order features -> canonical level-0 SparseTensor."""
+    if isinstance(plan, ZPlan):
+        return input_tensor_z(plan, feats)
+    return _input_gather(plan, feats)
+
+
+def canon_rows(plan, values, fill=0):
+    """Per-input-row values -> the plan's level-0 row layout."""
+    if isinstance(plan, ZPlan):
+        return plan.scatter_rows(values, fill=fill)
+    return values[plan.perm]
+
+
+def canon_labels(plan, labels):
+    """Labels in canonical layout + the rows-with-a-label validity mask."""
+    if isinstance(plan, ZPlan):
+        lab = plan.scatter_rows(labels.astype(jnp.int32), fill=jnp.int32(-1))
+        return lab, plan.level(0).real & (lab >= 0)
+    lab = labels[plan.perm]
+    return lab, plan.level(0).mask & (lab >= 0)
+
+
+def rows_to_input_map(plan):
+    """int32 [N0]: canonical level-0 row -> input row (-1 = no input row:
+    ghost/pad).  Pairs model outputs with caller-order arrays (e.g. .ply
+    prediction dumps, utils/ply.py)."""
+    if isinstance(plan, ZPlan):
+        n_in = plan.pos.shape[0]
+        return plan.scatter_rows(
+            jnp.arange(n_in, dtype=jnp.int32), fill=jnp.int32(-1)
+        )
+    n0 = plan.level(0).coords.shape[0]
+    return jnp.where(plan.level(0).mask, plan.perm, -1).astype(jnp.int32)

@@ -1,0 +1,544 @@
+"""Segmented z-fused plan: per-scan segments + ghost-augmented levels.
+
+Fifth-generation kernel-map engine, built from two measured v5e facts
+(benchmarks/micro/micro_gather_cliff.py, micro_zconv*.py):
+
+  1. XLA row-gather cost cliffs on OPERAND ROW COUNT: ~3.3 ns/row below
+     ~430k rows, ~12 ns/row above — independent of row width and index
+     locality.  Chunking one big gather into batch-local pieces via
+     lax.map stays in the fast tier at any total size; vmap does not.
+     => every per-level array is SEGMENTED: scan b owns rows
+     [b*capS, (b+1)*capS), padded per segment, and convs gather per
+     segment (neighbors never cross scans).
+
+  2. Gathers are descriptor-rate bound, so the conv must need fewer
+     gathered rows: the column-fused conv (ops.zconv) turns the 3 z-taps
+     of each xy-offset into shift+GEMM work and keeps only 9 xy gathers
+     (27 -> 9), exactly — provided each level is AUGMENTED with ghost
+     rows at z-gap locations that are nonzero gather targets (free cell,
+     z+-1 occupied, some real voxel at the same z within xy-Chebyshev
+     distance 1).  Measured on ring-structured scans: +45%/+32%/<=10%
+     rows at levels 0/1/2+.
+
+The plan carries, per level, the augmented coordinate set in segmented
+canonical order with `real` (the op/loss mask) and `valid` (real|ghost)
+flags, z-adjacency masks for the shift taps, and the kernel maps:
+conv9 (k=3), down8 + parent/offset (k=2 s=2 pair).  The stem keeps the
+25-column occupancy sweep over a REAL-only level-0 layout (ghost rows
+would waste 45% of its column fetches) plus a real->aug row scatter.
+
+Replaces (same role as core.plan / plan_staged / plan_bitgrid): the
+MinkowskiEngine coordinate manager + kernel-map generation for
+MinkUNet34 (reference utils/models/minkunet.py:26-92).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidog_tpu.core import bitgrid
+from lidog_tpu.core.bitgrid import ZC, ZWORDS, _cell_of, _rank_from_row
+
+NUM_LEVELS = 5
+
+
+@flax.struct.dataclass
+class ZLevel:
+    coords: Any  # int32 [B*capA, 4] augmented, segmented canonical order
+    real: Any  # bool [B*capA] — real voxels (the op/loss mask)
+    valid: Any  # bool [B*capA] — real | ghost rows
+    zup: Any  # bool [B*capA] — row j+1 is (same column, z+1)
+    zdn: Any  # bool [B*capA]
+    stride: int = flax.struct.field(pytree_node=False, default=1)
+
+    @property
+    def mask(self):  # the SparseTensor mask contract: rows ops may emit
+        return self.real
+
+
+@flax.struct.dataclass
+class ZPlan:
+    levels: Tuple[ZLevel, ...]
+    kmaps: Dict[str, Any]
+    # conv9_l{i}: [9, B*capA_i] into level i's augmented rows (-1 miss)
+    # down8_l{i}: [8, B*capA_{i+1}] into level i's augmented rows
+    # parent_l{i}: [B*capA_i] fine row -> coarse augmented row (-1 miss)
+    # off_l{i}:   [B*capA_i] fine-in-coarse offset id (dx*4+dy*2+dz)
+    # stem_occ:   [B*capR0, 125] bf16 occupancy (REAL level-0 layout)
+    # real_to_aug:[B*capR0] real level-0 row -> augmented row
+    pos: Any  # int32 [N_in]: input row -> level-0 augmented row (-1 drop)
+    overflow: Any  # int32 [1 + NUM_LEVELS]: real level-0 rows dropped to
+    # caps_real[0], then per-level augmented rows dropped to caps_aug[i]
+    num_batches: int = flax.struct.field(pytree_node=False, default=1)
+
+    def level(self, i: int) -> ZLevel:
+        return self.levels[i]
+
+    def scatter_rows(self, values, fill=0):
+        """Scatter per-input-row values into the level-0 augmented layout."""
+        cap = self.levels[0].coords.shape[0]
+        slot = jnp.where(self.pos >= 0, self.pos, cap)
+        out = jnp.full((cap + 1,) + values.shape[1:], fill, values.dtype)
+        return out.at[slot].set(values, mode="drop")[:cap]
+
+
+# ---------------------------------------------------------------------------
+# Segmented bitgrid tables
+# ---------------------------------------------------------------------------
+
+
+def _cumsum_excl_axis1(x2d):
+    cs = jnp.cumsum(x2d, axis=1)
+    return cs - x2d
+
+
+GRID_ROW_W = 128  # 512 B id-grid rows: measured fast-tier sweet spot
+
+
+def _grid_lookup(grid_flat, b, gx, gy, ok, g: int, num_batches: int):
+    """Dense-grid id lookup via WIDE-ROW gather + one-hot select.
+
+    grid_flat [B*g*g] int32.  A narrow per-element gather keeps the
+    operand at B*g*g rows (16.8M at level 0 — deep in the slow tier);
+    reshaping to 512 B rows (128 ints) drops the operand under the ~430k
+    row-count cliff: 3.2 vs 9.2 ns/query measured
+    (benchmarks/micro/micro_widegrid.py).  The wanted element comes out
+    with a masked reduce (VPU work that fuses)."""
+    w = min(GRID_ROW_W, g)
+    shift = int(np.log2(w))
+    flat = (b * g + gx) * g + gy
+    flat = jnp.where(ok, flat, 0)
+    rows = grid_flat.reshape(-1, w)[flat >> shift]  # [n, w]
+    el = (flat & (w - 1))[:, None]
+    sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1) == el
+    v = jnp.sum(jnp.where(sel, rows, 0), axis=-1)
+    return jnp.where(ok, v, -1)
+
+
+def _chunked_compact_rows(compact, cids, num_batches: int, col_cap: int):
+    """compact [B*col_cap, R]; cids [n_xy, B, cap_q] SEGMENTED global ids
+    (-1 miss) whose batch matches their position -> rows [n_xy, B, cap_q, R].
+
+    Chunking the gather per batch keeps the operand at col_cap rows —
+    under the fast-tier cliff (measured 3.5 vs 6.7 ns/row at bench scale,
+    micro_widegrid.py)."""
+    n_xy, nb, cap_q = cids.shape
+    r = compact.shape[1]
+    comp_seg = compact.reshape(nb, col_cap, r)
+    base = (jnp.arange(nb, dtype=jnp.int32) * col_cap)[None, :, None]
+    loc = cids - base  # [n_xy, nb, cap_q]; misses go negative
+    loc_b = loc.transpose(1, 0, 2).reshape(nb, n_xy * cap_q)
+
+    def per_b(args):
+        cb, ib = args
+        hit = (ib >= 0) & (ib < col_cap)
+        return cb[jnp.clip(ib, 0, col_cap - 1)] * hit[:, None].astype(cb.dtype)
+
+    rows = jax.lax.map(per_b, (comp_seg, loc_b))  # [nb, n_xy*cap_q, r]
+    return rows.reshape(nb, n_xy, cap_q, r).transpose(1, 0, 2, 3)
+
+
+@partial(jax.jit, static_argnames=("grid_half", "level", "col_cap", "seg_cap"))
+def compact_table_seg(bits, coords, valid, grid_half: int, level: int,
+                      col_cap: int, seg_cap: int):
+    """Two-level column table, fully SEGMENTED: both the stored column ids
+    and starts of batch b live in [b*cap, (b+1)*cap) — cids in
+    [b*col_seg_cap, ...), starts in [b*seg_cap, ...) — so compact-row and
+    feature gathers chunk per batch (operand under the row-count cliff)
+    and looked-up positions land directly in the segmented row layout.
+    col_cap must be num_batches * seg-col-cap; columns never outnumber
+    voxels, so seg-col-cap = seg_cap is always safe.
+
+    Returns (col_grid [B*g*g] int32 flat, -1 = empty; compact
+    [col_cap, ZWORDS+2])."""
+    u = bits.astype(jnp.uint32)
+    popc = jnp.sum(jax.lax.population_count(u), axis=-1).astype(jnp.int32)
+    b, g, _ = popc.shape[:3]
+    col_seg_cap = col_cap // b
+    start_in_b = _cumsum_excl_axis1(popc.reshape(b, g * g))
+    start = start_in_b + (
+        jnp.arange(b, dtype=jnp.int32)[:, None] * seg_cap
+    )
+    has = popc.reshape(b, g * g) > 0
+    cid_in_b = _cumsum_excl_axis1(has.astype(jnp.int32))
+    cid = cid_in_b + jnp.arange(b, dtype=jnp.int32)[:, None] * col_seg_cap
+    col_grid = jnp.where(
+        has & (cid_in_b < col_seg_cap), cid, -1
+    ).astype(jnp.int32).reshape(-1)
+    start_grid = start.astype(jnp.int32).reshape(-1)
+
+    vb, gx, gy, _, ok = _cell_of(coords, grid_half, level)
+    ok = ok & valid
+    vbs = jnp.where(ok, vb, 0)
+    gxc = jnp.clip(gx, 0, g - 1)
+    gyc = jnp.clip(gy, 0, g - 1)
+    vox_cid = _grid_lookup(col_grid, vbs, gxc, gyc, ok, g, b)
+    vox_start = _grid_lookup(start_grid, vbs, gxc, gyc, ok, g, b)[:, None]
+    ub = u.reshape(b * g * g, ZWORDS)
+    flat = jnp.where(ok, (vbs * g + gxc) * g + gyc, 0)
+    row = jnp.concatenate(
+        [ub[flat].astype(jnp.int32), vox_start, vox_start], axis=1
+    )
+    slot = jnp.where((vox_cid >= 0) & (vox_cid < col_cap), vox_cid, col_cap)
+    compact = (
+        jnp.zeros((col_cap + 1, ZWORDS + 2), jnp.int32)
+        .at[slot]
+        .set(row, mode="drop")[:col_cap]
+    )
+    return col_grid, compact
+
+
+@partial(jax.jit, static_argnames=("xy_offsets", "z_offsets", "grid_half",
+                                   "level", "seg_cap", "chunk_batches"))
+def lookup_map_seg(col_id, compact, coords, valid, xy_offsets: tuple,
+                   z_offsets: tuple, grid_half: int, level: int,
+                   seg_cap: int, chunk_batches: int = 0):
+    """bitgrid.lookup_map2 against the SEGMENTED table (compact_table_seg):
+    positions are b*seg_cap + within-segment rank; ranks beyond seg_cap
+    (per-segment overflow) resolve to -1.
+
+    chunk_batches > 0 declares the query rows themselves SEGMENTED (row
+    j belongs to batch j // (n // chunk_batches)) — required to chunk the
+    compact gather per batch; pass 0 for arbitrary-order queries (e.g.
+    raw input coords), which fall back to one global gather."""
+    g = (2 * grid_half) >> level
+    n = coords.shape[0]
+    nb = chunk_batches
+    b = coords[:, 0]
+    gx0 = (coords[:, 1] >> level) + (grid_half >> level)
+    gy0 = (coords[:, 2] >> level) + (grid_half >> level)
+    bz0 = (coords[:, 3] >> level) + ZC
+    seg_base = b * seg_cap
+    col_cap = compact.shape[0]
+
+    dxs = jnp.asarray(np.array([d[0] for d in xy_offsets], np.int32))
+    dys = jnp.asarray(np.array([d[1] for d in xy_offsets], np.int32))
+    gx = gx0[None, :] + dxs[:, None]
+    gy = gy0[None, :] + dys[:, None]
+    okc = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+    cids = _grid_lookup(
+        col_id,
+        jnp.broadcast_to(b[None, :], gx.shape).reshape(-1),
+        jnp.clip(gx, 0, g - 1).reshape(-1),
+        jnp.clip(gy, 0, g - 1).reshape(-1),
+        okc.reshape(-1), g, nb,
+    )
+    hit_col = cids >= 0
+    n_xy = len(xy_offsets)
+    if nb > 0:
+        rows = _chunked_compact_rows(
+            compact, cids.reshape(n_xy, nb, n // nb), nb, col_cap // nb
+        ).reshape(n_xy * n, ZWORDS + 2)
+    else:
+        rows = compact[jnp.where(hit_col, cids, 0)]
+    bits_u = rows[:, :ZWORDS].astype(jnp.uint32).reshape(n_xy, n, ZWORDS)
+    startv = rows[:, ZWORDS].reshape(n_xy, n)
+    hit_col = hit_col.reshape(n_xy, n)
+    outs = []
+    for ci in range(n_xy):
+        for dz in z_offsets:
+            bz = bz0 + dz
+            okz = hit_col[ci] & (bz >= 0) & (bz < ZWORDS * 32)
+            rank, exists = _rank_from_row(
+                bits_u[ci], jnp.clip(bz, 0, ZWORDS * 32 - 1)
+            )
+            idx = startv[ci] + rank
+            ok = okz & exists & ((idx - seg_base) < seg_cap)
+            outs.append(jnp.where(ok, idx, -1).astype(jnp.int32))
+    return jnp.stack(outs, axis=0)
+
+
+@partial(jax.jit, static_argnames=("r", "grid_half", "seg_cap",
+                                   "chunk_batches"))
+def stem_occ_seg(col_id, compact, coords, valid, r: int, grid_half: int,
+                 seg_cap: int, chunk_batches: int = 0):
+    """(2r+1)^3 occupancy per row from (2r+1)^2 column fetches against the
+    REAL level-0 table (bitgrid.stem_and_conv3_2 minus the conv3 part),
+    emitted bf16 to halve the [N, 125] write traffic.  chunk_batches: as
+    in lookup_map_seg (the stem queries ARE segmented)."""
+    rng = range(-r, r + 1)
+    g = 2 * grid_half
+    n = coords.shape[0]
+    nb = chunk_batches
+    col_cap = compact.shape[0]
+    b = coords[:, 0]
+    bz0 = coords[:, 3] + ZC
+    xy = [(dx, dy) for dx in rng for dy in rng]
+    dxs = jnp.asarray(np.array([d[0] for d in xy], np.int32))
+    dys = jnp.asarray(np.array([d[1] for d in xy], np.int32))
+    gx = (coords[:, 1] + grid_half)[None, :] + dxs[:, None]
+    gy = (coords[:, 2] + grid_half)[None, :] + dys[:, None]
+    okc_all = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+    cids = _grid_lookup(
+        col_id,
+        jnp.broadcast_to(b[None, :], gx.shape).reshape(-1),
+        jnp.clip(gx, 0, g - 1).reshape(-1),
+        jnp.clip(gy, 0, g - 1).reshape(-1),
+        okc_all.reshape(-1), g, nb,
+    )
+    hit_col_all = cids >= 0
+    if nb > 0:
+        full_rows = _chunked_compact_rows(
+            compact, cids.reshape(len(xy), nb, n // nb), nb, col_cap // nb
+        ).reshape(len(xy), n, ZWORDS + 2)
+    else:
+        full_rows = compact[jnp.where(hit_col_all, cids, 0)].reshape(
+            len(xy), n, ZWORDS + 2
+        )
+    hit_col_all = hit_col_all.reshape(len(xy), n)
+    occ_cols = []
+    for ci in range(len(xy)):
+        rowb = full_rows[ci, :, :ZWORDS].astype(jnp.uint32)
+        widx = jax.lax.broadcasted_iota(jnp.int32, rowb.shape, 1)
+        for dz in rng:
+            bz = bz0 + dz
+            okz = hit_col_all[ci] & (bz >= 0) & (bz < ZWORDS * 32)
+            bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
+            w = jnp.sum(
+                jnp.where(widx == (bzc >> 5)[:, None], rowb, jnp.uint32(0)),
+                axis=-1, dtype=jnp.uint32,
+            )
+            bit = (w >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
+            occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
+    return jnp.stack(occ_cols, axis=1).astype(jnp.bfloat16)
+
+
+@jax.jit
+def ghost_bits(bits):
+    """Ghost locations: free, z+-1 occupied, and some real voxel at the
+    same z within xy-Chebyshev distance 1 (the exact nonzero-gather-target
+    condition for the 9 xy offsets — see module docstring)."""
+    u = bits.astype(jnp.uint32)
+    # z-dilation with inter-word carries (z is bit-packed along the last
+    # axis, word k bits [32k, 32k+32), LSB first)
+    up = (u << 1) | jnp.concatenate(
+        [jnp.zeros_like(u[..., :1]), u[..., :-1] >> 31], axis=-1
+    )
+    dn = (u >> 1) | jnp.concatenate(
+        [u[..., 1:] << 31, jnp.zeros_like(u[..., :1])], axis=-1
+    )
+    zdil = up | dn
+
+    # separable 3x3 xy box dilation (OR): x pass then y pass
+    def shift(a, axis, d):
+        z = jnp.zeros_like(jax.lax.slice_in_dim(a, 0, abs(d), axis=axis))
+        if d > 0:
+            return jnp.concatenate(
+                [z, jax.lax.slice_in_dim(a, 0, a.shape[axis] - d, axis=axis)],
+                axis=axis,
+            )
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(a, -d, a.shape[axis], axis=axis), z],
+            axis=axis,
+        )
+
+    xd = u | shift(u, 1, 1) | shift(u, 1, -1)
+    xyd = xd | shift(xd, 2, 1) | shift(xd, 2, -1)
+    return (zdil & ~u & xyd).astype(jnp.int32)
+
+
+@jax.jit
+def _per_batch_counts(bits):
+    """Set-bit count per batch element: [B]."""
+    u = bits.astype(jnp.uint32)
+    return jnp.sum(
+        jax.lax.population_count(u).astype(jnp.int32), axis=(1, 2, 3)
+    )
+
+
+def _seg_valid_mask(counts, num_batches: int, seg_cap: int):
+    """valid[b*cap + r] = r < min(counts[b], cap)."""
+    r = jnp.arange(seg_cap, dtype=jnp.int32)[None, :]
+    m = r < jnp.minimum(counts, seg_cap)[:, None]
+    return m.reshape(num_batches * seg_cap)
+
+
+def _scatter_rows(pos, values, cap: int):
+    slot = jnp.where((pos >= 0) & (pos < cap), pos, cap)
+    return (
+        jnp.zeros((cap + 1,) + values.shape[1:], values.dtype)
+        .at[slot]
+        .set(values, mode="drop")[:cap]
+    )
+
+
+def _scatter_flag(pos, flag, cap: int):
+    slot = jnp.where((pos >= 0) & (pos < cap) & flag, pos, cap)
+    return (
+        jnp.zeros((cap + 1,), bool).at[slot].set(True, mode="drop")[:cap]
+    )
+
+
+def _z_adjacency(coords, valid, stride: int):
+    """zup[j]: row j+1 is (same batch, x, y, z+stride) and both valid."""
+    same_col = jnp.all(coords[1:, :3] == coords[:-1, :3], axis=1)
+    zplus = coords[1:, 3] == coords[:-1, 3] + stride
+    adj = same_col & zplus & valid[1:] & valid[:-1]
+    zup = jnp.concatenate([adj, jnp.zeros((1,), bool)])
+    zdn = jnp.concatenate([jnp.zeros((1,), bool), adj])
+    return zup, zdn
+
+
+CONV9_XY = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+            (1, -1), (1, 0), (1, 1))
+DOWN_XY = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+class ZSegPlanBuilder:
+    """Build a ZPlan from batched stride-1 voxel coords (any row order).
+
+    caps_real / caps_aug: PER-SCAN row capacities per level.  The input
+    coords array may be pooled (arbitrary order, batch in column 0).
+    """
+
+    def __init__(
+        self,
+        caps_real: Tuple[int, ...],
+        caps_aug: Tuple[int, ...],
+        num_batches: int,
+        grid_half: int = 1024,
+        stem_kernel: int = 5,
+    ):
+        assert len(caps_real) == NUM_LEVELS and len(caps_aug) == NUM_LEVELS
+        self.caps_real = tuple(int(c) for c in caps_real)
+        self.caps_aug = tuple(int(c) for c in caps_aug)
+        self.num_batches = num_batches
+        self.grid_half = grid_half
+        self.stem_kernel = stem_kernel
+
+    def __call__(self, coords, mask) -> ZPlan:
+        B, gh = self.num_batches, self.grid_half
+        capR0 = self.caps_real[0]
+        kmaps: Dict[str, Any] = {}
+        overflow = []
+
+        # ---- level 0: real table (stem + input ranks) ------------------
+        # col_cap: column ids are GLOBAL across batches -> B * per-scan cap.
+        bits_r, _ = bitgrid.build_bits(coords, mask, B, gh, 0)
+        cid_r, comp_r = compact_table_seg(
+            bits_r, coords, mask, gh, 0, B * capR0, capR0
+        )
+        pos_r = lookup_map_seg(
+            cid_r, comp_r, coords, mask, ((0, 0),), (0,), gh, 0, capR0
+        )[0]
+        coords_r0 = _scatter_rows(pos_r, coords, B * capR0)
+        counts_r = _per_batch_counts(bits_r)
+        valid_r0 = _seg_valid_mask(counts_r, B, capR0)
+        coords_r0 = jnp.where(valid_r0[:, None], coords_r0, 0)
+        overflow.append(jnp.sum(jnp.maximum(counts_r - capR0, 0)))
+
+        kmaps["stem_occ"] = stem_occ_seg(
+            cid_r, comp_r, coords_r0, valid_r0, self.stem_kernel // 2, gh,
+            capR0, chunk_batches=B,
+        )
+        kmaps["real_mask_l0"] = valid_r0
+
+        levels = []
+        bits_level = bits_r  # real-occupancy pyramid
+        prev = None  # (coords_a, real_a) of previous level
+        fine_table = None  # (cid, comp, capA) of previous level's aug table
+        for i in range(NUM_LEVELS):
+            capA = self.caps_aug[i]
+            s = 1 << i
+            if i == 0:
+                src_coords, src_valid = coords, mask
+            else:
+                bits_level = bitgrid.coarsen_bits(bits_level)
+                pc, pr = prev
+                parent_xyz = (pc[:, 1:4] >> i) << i
+                src_coords = jnp.concatenate([pc[:, :1], parent_xyz], axis=1)
+                src_valid = pr
+
+            gb = ghost_bits(bits_level)
+            bits_a = bits_level | gb
+            cid_a, comp_a = compact_table_seg(
+                bits_a, src_coords, src_valid, gh, i, B * capA, capA
+            )
+            # one column fetch resolves aug slots of (z-s, z, z+s)
+            pos3 = lookup_map_seg(
+                cid_a, comp_a, src_coords, src_valid, ((0, 0),),
+                (-1, 0, 1), gh, i, capA,
+                chunk_batches=0 if i == 0 else B,
+            )
+            dz = jnp.asarray([[-s], [0], [s]], jnp.int32)
+            cand = jnp.broadcast_to(
+                src_coords[None], (3,) + src_coords.shape
+            ).reshape(-1, 4)
+            cand = cand.at[:, 3].add(jnp.repeat(dz[:, 0], src_coords.shape[0]))
+            coords_a = _scatter_rows(pos3.reshape(-1), cand, B * capA)
+            real_a = _scatter_flag(pos3[1], src_valid, B * capA)
+            counts_a = _per_batch_counts(bits_a)
+            valid_a = _seg_valid_mask(counts_a, B, capA)
+            coords_a = jnp.where(valid_a[:, None], coords_a, 0)
+            real_a = real_a & valid_a
+            zup, zdn = _z_adjacency(coords_a, valid_a, s)
+            levels.append(
+                ZLevel(coords=coords_a, real=real_a, valid=valid_a,
+                       zup=zup, zdn=zdn, stride=s)
+            )
+            # augmented rows dropped to per-segment capacity (any dropped
+            # REAL voxel is included in this count)
+            overflow.append(jnp.sum(jnp.maximum(counts_a - capA, 0)))
+
+            kmaps[f"conv9_l{i}"] = lookup_map_seg(
+                cid_a, comp_a, coords_a, valid_a, CONV9_XY, (0,), gh, i,
+                capA, chunk_batches=B,
+            )
+            if i == 0:
+                # real level-0 row -> augmented row (stem output scatter,
+                # built from the shared input-row ranks)
+                r2a = _scatter_rows(
+                    pos_r, jnp.where(mask, pos3[1], -1), B * capR0
+                )
+                kmaps["real_to_aug"] = jnp.where(valid_r0, r2a, -1)
+                pos_in = jnp.where(mask, pos3[1], -1)
+            else:
+                # strided pair maps between level i-1 (fine) and i (coarse)
+                fine = levels[i - 1]
+                # parent/offset per FINE aug row
+                pxyz = (fine.coords[:, 1:4] >> i) << i
+                pcoords_f = jnp.concatenate(
+                    [fine.coords[:, :1], pxyz], axis=1
+                )
+                parent = lookup_map_seg(
+                    cid_a, comp_a, pcoords_f, fine.valid, ((0, 0),), (0,),
+                    gh, i, capA, chunk_batches=B,
+                )[0]
+                d = (fine.coords[:, 1:4] - pxyz) >> (i - 1)
+                kmaps[f"parent_l{i-1}"] = parent
+                kmaps[f"off_l{i-1}"] = (
+                    d[:, 0] * 4 + d[:, 1] * 2 + d[:, 2]
+                ).astype(jnp.int32)
+                # down map: coarse outputs query the FINE aug table
+                fine_cid, fine_comp, fine_cap = fine_table
+                kmaps[f"down8_l{i-1}"] = lookup_map_seg(
+                    fine_cid, fine_comp, coords_a, valid_a, DOWN_XY, (0, 1),
+                    gh, i - 1, fine_cap, chunk_batches=B,
+                )
+            fine_table = (cid_a, comp_a, capA)
+            prev = (coords_a, real_a)
+
+        return ZPlan(
+            levels=tuple(levels),
+            kmaps=kmaps,
+            pos=pos_in,
+            overflow=jnp.stack(overflow),
+            num_batches=B,
+        )
+
+
+def input_tensor_z(plan: ZPlan, feats):
+    """Scatter caller-order features [N_in, C] into the level-0 augmented
+    layout (ghost/pad rows zero)."""
+    from lidog_tpu.core.sparse import SparseTensor
+
+    l0 = plan.level(0)
+    f = plan.scatter_rows(feats)
+    f = f * l0.real[:, None].astype(f.dtype)
+    return SparseTensor(coords=l0.coords, feats=f, mask=l0.real, stride=1)

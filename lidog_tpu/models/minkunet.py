@@ -28,8 +28,10 @@ import jax.numpy as jnp
 
 from lidog_tpu.core.plan import UNetPlan
 from lidog_tpu.core.sparse import SparseTensor, cat
+from lidog_tpu.core.zseg import ZPlan
 from lidog_tpu.ops.norm import MaskedBatchNorm, MaskedInstanceNorm
 from lidog_tpu.ops.sparse_conv import sparse_conv, sparse_conv_1x1
+from lidog_tpu.ops.zconv import zconv3, zconv_down, zconv_up
 
 
 def kernel_init(key, shape, dtype=jnp.float32):
@@ -64,11 +66,24 @@ class SparseConv(nn.Module):
                 w[:, 0, :].astype(x.feats.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(x.feats.dtype)
+            if isinstance(plan, ZPlan):
+                # occupancy lives on the REAL level-0 layout; scatter rows
+                # into the augmented layout (ghost rows zero).
+                r2a = plan.kmaps["real_to_aug"]
+                cap = out_l.coords.shape[0]
+                slot = jnp.where(r2a >= 0, r2a, cap)
+                feats = (
+                    jnp.zeros((cap + 1, feats.shape[1]), feats.dtype)
+                    .at[slot]
+                    .set(feats, mode="drop")[:cap]
+                )
             feats = feats * out_l.mask[:, None].astype(feats.dtype)
             return SparseTensor(
                 coords=out_l.coords, feats=feats, mask=out_l.mask,
                 stride=out_l.stride,
             )
+        if isinstance(plan, ZPlan):
+            return self._zconv(x, plan)
         nbr = plan.kmaps[self.kmap]
         # Transpose map for the scatter-free backward: down<->up partners.
         if self.kmap.startswith("down_"):
@@ -87,6 +102,52 @@ class SparseConv(nn.Module):
         )
         return SparseTensor(
             coords=out_l.coords, feats=feats, mask=out_l.mask, stride=out_l.stride
+        )
+
+    def _zconv(self, x: SparseTensor, plan: ZPlan) -> SparseTensor:
+        """Segmented z-fused engine path (core.zseg + ops.zconv)."""
+        out_l = plan.level(self.out_level)
+        nb = plan.num_batches
+        if self.kmap.startswith("conv3_"):
+            i = self.in_level
+            L = plan.level(i)
+            w = self.param(
+                "kernel", kernel_init,
+                (27, x.num_channels, self.out_channels),
+            )
+            feats = zconv3(
+                x.feats, plan.kmaps[f"conv9_l{i}"], L.zup, L.zdn,
+                w.astype(x.feats.dtype), out_mask=out_l.real,
+                num_batches=nb,
+            )
+        elif self.kmap.startswith("down_"):
+            i = self.in_level
+            w = self.param(
+                "kernel", kernel_init,
+                (8, x.num_channels, self.out_channels),
+            )
+            feats = zconv_down(
+                x.feats, plan.kmaps[f"down8_l{i}"],
+                plan.kmaps[f"parent_l{i}"], plan.kmaps[f"off_l{i}"],
+                w.astype(x.feats.dtype), out_mask=out_l.real,
+                num_batches=nb,
+            )
+        elif self.kmap.startswith("up_"):
+            i = self.out_level
+            w = self.param(
+                "kernel", kernel_init,
+                (8, x.num_channels, self.out_channels),
+            )
+            feats = zconv_up(
+                x.feats, plan.kmaps[f"parent_l{i}"], plan.kmaps[f"off_l{i}"],
+                plan.kmaps[f"down8_l{i}"], w.astype(x.feats.dtype),
+                out_mask=out_l.real, num_batches=nb,
+            )
+        else:
+            raise ValueError(f"unknown kmap {self.kmap!r} for ZPlan")
+        return SparseTensor(
+            coords=out_l.coords, feats=feats, mask=out_l.real,
+            stride=out_l.stride,
         )
 
 

@@ -1,7 +1,7 @@
 """Column-fused (z-fused) sparse convolution — 9 gathers instead of 27.
 
 The round-3 structural answer to the gather wall.  XLA TPU row gathers are
-DESCRIPTOR-RATE bound (~4-8 ns per row regardless of row width up to
+DESCRIPTOR-RATE bound (~3-8 ns per row regardless of row width up to
 ~192 B, benchmarks/micro/micro_gather.py), so the only way to speed a
 sparse conv up is to need FEWER GATHERED ROWS — not cheaper ones.
 
@@ -23,9 +23,16 @@ reference conv, ME.MinkowskiConvolution, still applies).  The plan
 therefore augments each level with GHOST rows at such locations (free,
 z+-1 occupied, and some real voxel at the same z within xy distance 1 —
 the exact condition for the location to be a nonzero gather target;
-measured +45%/+32%/<=10% rows at levels 0/1/2+ on ring-structured scans).
+measured +45%/+32%/+10% rows at levels 0/1/2+ on ring-structured scans).
 Ghost rows carry zero features (every op masks its output with the real
 mask) but hold valid u values, making the 9-gather factorization exact.
+
+Loop structure (measured, benchmarks/micro/micro_zseg_tune.py): the
+per-scan segment loop (lax.map) goes OUTSIDE and the offset scan INSIDE.
+Per-offset inner lax.maps serialize against the producing GEMMs and run
+~11x slower (294.7 -> 26.6 ms at L0, B=4, C=96); segments-outer keeps
+every gather operand under the ~430k-row XLA fast-tier cliff
+(micro_gather_cliff.py) AND lets the 9 offset steps pipeline.
 
 Strided convs do NOT z-fuse (fusing their z∈{0,1} taps would require
 ghosts at every even-z gap, roughly doubling the augmentation); instead
@@ -72,6 +79,33 @@ def _gather_rows(u, idx):
     return u[jnp.maximum(idx, 0)] * hit[:, None].astype(u.dtype)
 
 
+def _local_gather(ub, ib, cap):
+    """ub [cap_u, C]; ib [n] local rows (<0 or >=cap_u = miss) -> [n, C]."""
+    hit = (ib >= 0) & (ib < cap)
+    return ub[jnp.clip(ib, 0, cap - 1)] * hit[:, None].astype(ub.dtype)
+
+
+def _seg_gather(u, idx, num_batches: int, cap_u: int, cap_out: int):
+    """u [B*cap_u, C]; idx [B*cap_out] GLOBAL rows or -1 -> [B*cap_out, C].
+
+    Chunked per batch segment via lax.map: keeps each gather operand under
+    the ~430k-row fast-tier cliff at any batch size (neighbors never cross
+    scan segments, so global rows always land in the caller's segment)."""
+    if num_batches == 1:
+        return _local_gather(u, idx, cap_u)
+    c = u.shape[1]
+    u_seg = u.reshape(num_batches, cap_u, c)
+    base = jnp.arange(num_batches, dtype=jnp.int32)[:, None] * cap_u
+    i_seg = idx.reshape(num_batches, cap_out) - base
+
+    def per_b(args):
+        ub, ib = args
+        return _local_gather(ub, ib, cap_u)
+
+    out = jax.lax.map(per_b, (u_seg, i_seg))
+    return out.reshape(num_batches * cap_out, c)
+
+
 def _zcat(x, zup, zdn):
     """[Na, 3*Cin] = [x_prev | x | x_next] (z taps -1, 0, +1)."""
     return jnp.concatenate(
@@ -95,32 +129,71 @@ def _zcat_t(d3, zup, zdn):
     return dx
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll):
+def _split_segs(nb, arrs_caps):
+    """[(arr, cap, kind), ...] -> per-batch views.
+
+    kind "rows"/"flag": [B*cap, ...] -> [B, cap, ...].
+    kind "map": ([K, B*cap] global indices, (cap, base_cap)) ->
+    [B, K, cap] LOCAL indices — base_cap is the row stride of the
+    OPERAND level the indices point into (differs from cap for the
+    strided convs, whose maps cross levels)."""
+    out = []
+    for a, cap, kind in arrs_caps:
+        if kind == "rows":
+            out.append(a.reshape((nb, cap) + a.shape[1:]))
+        elif kind == "flag":
+            out.append(a.reshape(nb, cap))
+        else:  # "map"
+            cap, base_cap = cap if isinstance(cap, tuple) else (cap, cap)
+            k = a.shape[0]
+            base = (jnp.arange(nb, dtype=jnp.int32) * base_cap)[None, :, None]
+            out.append((a.reshape(k, nb, cap) - base).transpose(1, 0, 2))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# k=3 column-fused conv
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb):
     """x [Na, Cin]; nbr [9, Na]; wf [9, 3*Cin, Cout] (xy lexicographic,
     z taps ordered -1, 0, +1 along the 3*Cin axis)."""
-    xc = _zcat(x, zup, zdn)
-    n_out = nbr.shape[1]
+    na, cin = x.shape
     cout = wf.shape[2]
+    cap = na // nb
+    xs, zus, zds, nbrs = _split_segs(
+        nb,
+        [(x, cap, "rows"), (zup, cap, "flag"), (zdn, cap, "flag"),
+         (nbr, cap, "map")],
+    )
 
-    def body(acc, xs):
-        nbr_d, w_d = xs
-        u = jnp.dot(xc, w_d, preferred_element_type=accum_dtype).astype(
-            xc.dtype
-        )
-        return acc + _gather_rows(u, nbr_d).astype(accum_dtype), None
+    def per_b(args):
+        xb, zu, zd, ib = args
+        xc = _zcat(xb, zu, zd)
 
-    acc0 = jnp.zeros((n_out, cout), accum_dtype)
-    acc, _ = jax.lax.scan(body, acc0, (nbr, wf), unroll=unroll)
-    return acc.astype(x.dtype)
+        def body(acc, xs_):
+            i, w = xs_
+            u = jnp.dot(xc, w, preferred_element_type=accum_dtype).astype(
+                xb.dtype
+            )
+            return acc + _local_gather(u, i, cap).astype(accum_dtype), None
+
+        acc0 = jnp.zeros((cap, cout), accum_dtype)
+        acc, _ = jax.lax.scan(body, acc0, (ib, wf), unroll=unroll)
+        return acc.astype(xb.dtype)
+
+    out = jax.lax.map(per_b, (xs, zus, zds, nbrs))
+    return out.reshape(na, cout)
 
 
-def _zconv3_fwd(x, nbr, zup, zdn, wf, accum_dtype, unroll):
-    out = _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll)
+def _zconv3_fwd(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb):
+    out = _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb)
     return out, (x, nbr, zup, zdn, wf)
 
 
-def _zconv3_bwd(accum_dtype, unroll, res, dout):
+def _zconv3_bwd(accum_dtype, unroll, nb, res, dout):
     """One gather pass feeds BOTH dx and dW (transpose-reuse).
 
     The 3x3 xy-offset set is symmetric, so the gather transpose of offset
@@ -133,28 +206,40 @@ def _zconv3_bwd(accum_dtype, unroll, res, dout):
     then dx = zcat^T(dxc).
     """
     x, nbr, zup, zdn, wf = res
-    na = x.shape[0]
+    na, cin = x.shape
     cin3 = wf.shape[1]
-    xc = _zcat(x, zup, zdn)
+    cap = na // nb
     wt = jnp.transpose(wf[::-1], (0, 2, 1))  # [9, Cout, 3Cin]
     dout = dout.astype(x.dtype)
+    xs, zus, zds, nbrs, dos = _split_segs(
+        nb,
+        [(x, cap, "rows"), (zup, cap, "flag"), (zdn, cap, "flag"),
+         (nbr, cap, "map"), (dout, cap, "rows")],
+    )
 
-    def body(acc, xs):
-        nbr_e, wt_e = xs
-        g = _gather_rows(dout, nbr_e)  # [Na, Cout]
-        dxc = jnp.dot(g, wt_e, preferred_element_type=accum_dtype)
-        dw = jnp.einsum(
-            "nc,nd->cd",
-            xc.astype(jnp.float32),
-            g.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )  # [3Cin, Cout] for offset 8-e
-        return acc + dxc, dw
+    def per_b(args):
+        xb, zu, zd, ib, db = args
+        xc = _zcat(xb, zu, zd)
+        xcf = xc.astype(jnp.float32)
 
-    acc0 = jnp.zeros((na, cin3), accum_dtype)
-    dxc, dw_rev = jax.lax.scan(body, acc0, (nbr, wt), unroll=unroll)
-    dx = _zcat_t(dxc.astype(x.dtype), zup, zdn)
-    dwf = dw_rev[::-1].astype(wf.dtype)
+        def body(acc, xs_):
+            i, wt_e = xs_
+            g = _local_gather(db, i, cap)  # [cap, Cout]
+            dxc = jnp.dot(g, wt_e, preferred_element_type=accum_dtype)
+            dw = jnp.einsum(
+                "nc,nd->cd", xcf, g.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )  # [3Cin, Cout] for offset 8-e
+            return acc + dxc, dw
+
+        acc0 = jnp.zeros((cap, cin3), accum_dtype)
+        dxc, dw_rev = jax.lax.scan(body, acc0, (ib, wt), unroll=unroll)
+        dx = _zcat_t(dxc.astype(xb.dtype), zu, zd)
+        return dx, dw_rev
+
+    dx_s, dw_s = jax.lax.map(per_b, (xs, zus, zds, nbrs, dos))
+    dx = dx_s.reshape(na, cin)
+    dwf = jnp.sum(dw_s, axis=0)[::-1].astype(wf.dtype)
     return (
         dx,
         np.zeros(nbr.shape, jax.dtypes.float0),
@@ -168,7 +253,7 @@ _zconv3_core.defvjp(_zconv3_fwd, _zconv3_bwd)
 
 
 def zconv3(x, nbr9, zup, zdn, weights, *, out_mask=None,
-           accum_dtype=jnp.float32, unroll: int = 3):
+           accum_dtype=jnp.float32, unroll: int = 3, num_batches: int = 1):
     """k=3 column-fused sparse conv on an augmented level.
 
     x:       [Na, Cin]  features in augmented canonical order (ghost rows
@@ -187,7 +272,8 @@ def zconv3(x, nbr9, zup, zdn, weights, *, out_mask=None,
     # [9, 3, Cin, Cout] -> [9, 3*Cin, Cout]; the plan enumerates dz
     # fastest, so axis 1 groups exactly as _zcat's (z-1, z, z+1) taps.
     wf = weights.reshape(9, 3, cin, cout).reshape(9, 3 * cin, cout)
-    out = _zconv3_core(x, nbr9, zup, zdn, wf, accum_dtype, unroll)
+    out = _zconv3_core(x, nbr9, zup, zdn, wf, accum_dtype, unroll,
+                       num_batches)
     if out_mask is not None:
         out = out * out_mask[:, None].astype(out.dtype)
     return out
@@ -225,32 +311,48 @@ def _onehot_dw(x, g, off_id, k8):
     return jnp.stack(dws)
 
 
-def _down_loop(x, nbr8, w8, accum_dtype, unroll):
-    """out[I] = sum_k x[nbr8[k, I]] @ w8[k] — plain gather-GEMM."""
+def _down_loop(x, nbr8, w8, accum_dtype, unroll, nb):
+    """out[I] = sum_k x[nbr8[k, I]] @ w8[k] — segments-outer gather-GEMM.
+
+    x [B*cap_u, Cin] (fine); nbr8 [8, B*cap_out] global fine rows."""
     n_out = nbr8.shape[1]
     cout = w8.shape[2]
+    cap_u = x.shape[0] // nb
+    cap_out = n_out // nb
+    xs, nbrs = _split_segs(
+        nb, [(x, cap_u, "rows"), (nbr8, (cap_out, cap_u), "map")]
+    )
 
-    def body(acc, xs):
-        nbr_k, w_k = xs
-        g = _gather_rows(x, nbr_k)
-        return acc + jnp.dot(g, w_k, preferred_element_type=accum_dtype), None
+    def per_b(args):
+        xb, ib = args
 
-    acc0 = jnp.zeros((n_out, cout), accum_dtype)
-    acc, _ = jax.lax.scan(body, acc0, (nbr8, w8), unroll=unroll)
-    return acc
+        def body(acc, xs_):
+            i, w_k = xs_
+            g = _local_gather(xb, i, cap_u)
+            return (
+                acc + jnp.dot(g, w_k, preferred_element_type=accum_dtype),
+                None,
+            )
+
+        acc0 = jnp.zeros((cap_out, cout), accum_dtype)
+        acc, _ = jax.lax.scan(body, acc0, (ib, w8), unroll=unroll)
+        return acc
+
+    out = jax.lax.map(per_b, (xs, nbrs))
+    return out.reshape(n_out, cout)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll, w8):
-    return _down_loop(x, nbr8, w8, accum_dtype, unroll).astype(x.dtype)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll, nb, w8):
+    return _down_loop(x, nbr8, w8, accum_dtype, unroll, nb).astype(x.dtype)
 
 
-def _zdown_fwd(x, nbr8, parent, off_id, accum_dtype, unroll, w8):
-    out = _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll, w8)
+def _zdown_fwd(x, nbr8, parent, off_id, accum_dtype, unroll, nb, w8):
+    out = _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll, nb, w8)
     return out, (x, nbr8, parent, off_id, w8)
 
 
-def _zdown_bwd(accum_dtype, unroll, res, dout):
+def _zdown_bwd(accum_dtype, unroll, nb, res, dout):
     """Each fine row j feeds exactly one tap of one coarse output — its
     parent at its fine-in-coarse offset — so
 
@@ -259,7 +361,8 @@ def _zdown_bwd(accum_dtype, unroll, res, dout):
     """
     x, nbr8, parent, off_id, w8 = res
     dout = dout.astype(x.dtype)
-    g = _gather_rows(dout, parent)  # [Naf, Cout]
+    g = _seg_gather(dout, parent, nb, dout.shape[0] // nb,
+                    parent.shape[0] // nb)  # [Naf, Cout]
     dx = _onehot_matmuls(g, off_id, w8, accum_dtype, transpose=True)
     dw8 = _onehot_dw(x, g, off_id, w8.shape[0])
     return (
@@ -275,7 +378,8 @@ _zdown_core.defvjp(_zdown_fwd, _zdown_bwd)
 
 
 def zconv_down(x, nbr8, parent, off_id, weights, *, out_mask=None,
-               accum_dtype=jnp.float32, unroll: int = 4):
+               accum_dtype=jnp.float32, unroll: int = 4,
+               num_batches: int = 1):
     """k=2 s=2 strided conv: 8-tap gather-GEMM forward over the (small)
     coarse outputs; 1-gather backward via the parent map.
 
@@ -283,33 +387,36 @@ def zconv_down(x, nbr8, parent, off_id, weights, *, out_mask=None,
     fastest).  parent/off_id: [Naf] — parent coarse row and fine-in-coarse
     offset id (dx*4 + dy*2 + dz) per fine row.  weights: [8, Cin, Cout].
     """
-    out = _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll, weights)
+    out = _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll,
+                      num_batches, weights)
     if out_mask is not None:
         out = out * out_mask[:, None].astype(out.dtype)
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll, w8):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll, nb, w8):
     """out[j] = x[parent[j]] @ W[off_id[j]] — 1 gather + one-hot select."""
-    g = _gather_rows(x, parent)
+    g = _seg_gather(x, parent, nb, x.shape[0] // nb,
+                    parent.shape[0] // nb)
     return _onehot_matmuls(g, off_id, w8, accum_dtype).astype(x.dtype)
 
 
-def _zup_fwd(x, parent, off_id, nbr8, accum_dtype, unroll, w8):
-    out = _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll, w8)
+def _zup_fwd(x, parent, off_id, nbr8, accum_dtype, unroll, nb, w8):
+    out = _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll, nb, w8)
     return out, (x, parent, off_id, nbr8, w8)
 
 
-def _zup_bwd(accum_dtype, unroll, res, dout):
+def _zup_bwd(accum_dtype, unroll, nb, res, dout):
     """Transpose of the up conv = the down-style 8-tap gather of dout with
     transposed weights: dx[I] = sum_k dout[nbr8[k, I]] @ W[k]^T.
     dW[o] reuses the (recomputed) parent gather of x."""
     x, parent, off_id, nbr8, w8 = res
     dout = dout.astype(x.dtype)
     wt = jnp.transpose(w8, (0, 2, 1))
-    dx = _down_loop(dout, nbr8, wt, accum_dtype, unroll).astype(x.dtype)
-    g = _gather_rows(x, parent)
+    dx = _down_loop(dout, nbr8, wt, accum_dtype, unroll, nb).astype(x.dtype)
+    g = _seg_gather(x, parent, nb, x.shape[0] // nb,
+                    parent.shape[0] // nb)
     dw8 = _onehot_dw(g, dout, off_id, w8.shape[0])
     return (
         dx,
@@ -324,7 +431,8 @@ _zup_core.defvjp(_zup_fwd, _zup_bwd)
 
 
 def zconv_up(x, parent, off_id, nbr8, weights, *, out_mask=None,
-             accum_dtype=jnp.float32, unroll: int = 4):
+             accum_dtype=jnp.float32, unroll: int = 4,
+             num_batches: int = 1):
     """Transposed k=2 s=2 conv: 1 parent gather + one-hot weight select
     (was 8 bucketed gathers over the large fine level).
 
@@ -332,7 +440,8 @@ def zconv_up(x, parent, off_id, nbr8, weights, *, out_mask=None,
     map at this level pair [8, Nac] (used by the backward).
     weights: [8, Cin, Cout], {0, s}^3 enumeration.
     """
-    out = _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll, weights)
+    out = _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll,
+                    num_batches, weights)
     if out_mask is not None:
         out = out * out_mask[:, None].astype(out.dtype)
     return out

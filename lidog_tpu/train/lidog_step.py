@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from lidog_tpu.core.plan import build_unet_plan, input_tensor
+from lidog_tpu.core.engine import canon_labels, input_tensor
+from lidog_tpu.core.plan import build_unet_plan
 from lidog_tpu.metrics.metrics import confusion_matrix
 from lidog_tpu.train.train_step import TrainState
 
@@ -35,8 +36,7 @@ def _lidog_forward(
     (logits, bev_logits), updates = model.apply(
         variables, x, plan, train=True, is_train=True, mutable=["batch_stats"]
     )
-    labels_c = batch[f"labels{suffix}"][plan.perm]
-    valid = plan.level(0).mask & (labels_c >= 0)
+    labels_c, valid = canon_labels(plan, batch[f"labels{suffix}"])
     sem_loss = sem_criterion(logits, labels_c, valid)
 
     bev_loss = 0.0

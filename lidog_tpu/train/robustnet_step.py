@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from lidog_tpu.core.plan import build_unet_plan, input_tensor
+from lidog_tpu.core.engine import canon_labels, input_tensor
+from lidog_tpu.core.plan import build_unet_plan
 from lidog_tpu.metrics.metrics import confusion_matrix
 from lidog_tpu.train.train_step import TrainState
 
@@ -61,8 +62,7 @@ def make_robustnet_train_step(
                 {"params": params, "batch_stats": stats},
                 x, plan, train=True, is_seg=False, mutable=["batch_stats"],
             )
-            labels_c = batch[f"labels{suffix}"][plan.perm]
-            valid = plan.level(0).mask & (labels_c >= 0)
+            labels_c, valid = canon_labels(plan, batch[f"labels{suffix}"])
             sem = criterion(logits, labels_c, valid)
             aux = sum(whitening_loss(f, m) for f, m in whitened) / len(whitened)
             preds = jnp.argmax(logits, axis=-1)

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from lidog_tpu.core.plan import build_unet_plan, input_tensor
+from lidog_tpu.core.engine import canon_labels, input_tensor
+from lidog_tpu.core.plan import build_unet_plan
 from lidog_tpu.metrics.metrics import confusion_matrix
 from lidog_tpu.parallel.mesh import DATA_AXIS
 
@@ -76,8 +77,7 @@ def _forward_loss(
     else:
         logits = model.apply(x=x, plan=plan, train=False, variables=variables)
         new_stats = batch_stats
-    labels_c = labels[plan.perm]
-    valid = plan.level(0).mask & (labels_c >= 0)
+    labels_c, valid = canon_labels(plan, labels)
     loss = criterion(logits, labels_c, valid)
     preds = jnp.argmax(logits, axis=-1)
     cm = confusion_matrix(preds, labels_c, valid, num_classes)

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lidog_tpu.core.plan import build_unet_plan, input_tensor
+from lidog_tpu.core.engine import canon_labels, input_tensor, rows_to_input_map
+from lidog_tpu.core.plan import build_unet_plan
 from lidog_tpu.metrics.metrics import confusion_matrix, iou_from_confusion
 from lidog_tpu.train.checkpoint import CheckpointManager, find_resume_checkpoint, run_dir
 from lidog_tpu.train.train_step import TrainState
@@ -114,11 +115,10 @@ class Trainer:
         variables = {"params": params, "batch_stats": batch_stats}
         out = self.model.apply(x=x, plan=plan, train=False, variables=variables)
         logits = out[0] if isinstance(out, tuple) else out
-        labels_c = labels[plan.perm]
-        valid = plan.level(0).mask & (labels_c >= 0)
+        labels_c, valid = canon_labels(plan, labels)
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, labels_c, valid, self.num_classes)
-        return cm, preds, plan.perm
+        return cm, preds, rows_to_input_map(plan)
 
     def _maybe_dump_bev(self, batch, plans, step: int, epoch: int):
         """Qualitative BEV JPEGs (trainer_lighting_bev.py:187-225)."""

@@ -41,9 +41,11 @@ def save_batch_predictions(
     Colors index the common-space map with label+1 (reference convention,
     trainer_lighting.py:126 `class2names[present_labels+1]`)."""
     os.makedirs(os.path.join(out_dir, target), exist_ok=True)
-    coords = np.asarray(batch["coords"])[perm]
-    mask = np.asarray(batch["mask"])[perm]
-    labels = np.asarray(batch["labels"])[perm]
+    perm = np.asarray(perm)
+    safe = np.maximum(perm, 0)
+    coords = np.asarray(batch["coords"])[safe]
+    mask = np.asarray(batch["mask"])[safe] & (perm >= 0)
+    labels = np.asarray(batch["labels"])[safe]
     if color_map is None:
         color_map = np.random.RandomState(0).rand(16, 3)
     for b in np.unique(coords[mask][:, 0]):
