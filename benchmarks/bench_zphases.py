@@ -74,7 +74,7 @@ def main():
         state = TrainState.create(variables, tx)
 
         fwd = jax.jit(
-            lambda v, f, plan=plan: model.apply(
+            lambda v, f, plan: model.apply(
                 v, input_tensor(plan, f), plan, train=False
             )
         )
@@ -86,7 +86,7 @@ def main():
               lambda: jax.tree_util.tree_leaves(
                   builder(batch["coords"], batch["mask"]).kmaps)[0])
         timed(f"[{name}] model fwd (prebuilt plan)",
-              lambda: fwd(variables, batch["feats"]))
+              lambda: fwd(variables, batch["feats"], plan))
         timed(f"[{name}] step fwd+bwd+adam (prebuilt)",
               lambda: step(state, batch, plan)[1]["loss"])
 

@@ -46,6 +46,21 @@ def canon_labels(plan, labels):
     return lab, plan.level(0).mask & (lab >= 0)
 
 
+def input_to_canon_map(plan):
+    """int32 [N_in]: input (collated) row -> canonical level-0 row, -1 if
+    the row was dropped (cap overflow / padding).  The inverse direction
+    of rows_to_input_map; feeds the select_3d projected-IoU diagnostic
+    (reference trainer_lighting_2d.py:126-139)."""
+    if isinstance(plan, ZPlan):
+        return plan.pos
+    n0 = plan.level(0).coords.shape[0]
+    n_in = plan.perm.shape[0]
+    slot = jnp.where(plan.level(0).mask, plan.perm, n_in)
+    inv = jnp.full((n_in + 1,), -1, jnp.int32)
+    inv = inv.at[slot].set(jnp.arange(n0, dtype=jnp.int32), mode="drop")
+    return inv[:n_in]
+
+
 def rows_to_input_map(plan):
     """int32 [N0]: canonical level-0 row -> input row (-1 = no input row:
     ghost/pad).  Pairs model outputs with caller-order arrays (e.g. .ply

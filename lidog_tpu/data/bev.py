@@ -150,13 +150,21 @@ def collate_bev(
     decoder_2d_levels: Sequence[str] = ("block8",),
     suffix: str = "",
 ) -> Dict[str, np.ndarray]:
-    """Padded collation incl. stacked per-level BEV label images
-    (reference CollateFNSingleSourceBEVMultiLevel, collation.py:274-325)."""
-    from lidog_tpu.data.collate import collate_padded
+    """Padded collation incl. stacked per-level BEV label AND point-index
+    images (reference CollateFNSingleSourceBEVMultiLevel,
+    collation.py:274-325; the index images feed the `select_3d` projected
+    3D-IoU diagnostic, trainer_lighting_2d.py:126-139).  Local per-scan
+    point indices are remapped to collated rows (-1 = dropped/empty)."""
+    from lidog_tpu.data.collate import collate_padded, remap_selected_idx
 
-    out = collate_padded(samples, capacity, suffix=suffix)
+    out = collate_padded(samples, capacity, suffix=suffix, return_inverse=True)
+    inv = out.pop(f"_inv_maps{suffix}")
     for key in decoder_2d_levels:
         out[f"bev_labels_{key}{suffix}"] = np.stack(
             [s["bev_labels"][key] for s in samples]
         )
+        out[f"bev_selected_idx_{key}{suffix}"] = np.stack([
+            remap_selected_idx(s["bev_selected_idx"][key], iv)
+            for s, iv in zip(samples, inv)
+        ])
     return out

@@ -25,6 +25,7 @@ def collate_padded(
     capacity: int,
     suffix: str = "",
     feat_dim: int = 1,
+    return_inverse: bool = False,
 ) -> Dict[str, np.ndarray]:
     """samples: dicts with 'coordinates' [M,3] int32, 'features' [M,C],
     'sem_labels' [M] int32.  Returns coords/feats/labels/mask padded to
@@ -40,6 +41,7 @@ def collate_padded(
 
     row = 0
     dropped = 0
+    inv_maps = []  # per sample: local voxel idx -> collated row (-1 dropped)
     for b, s in enumerate(samples):
         m = s["coordinates"].shape[0]
         keep = min(int(m * keep_frac), capacity - row) if keep_frac < 1.0 else min(
@@ -47,6 +49,7 @@ def collate_padded(
         )
         dropped += m - keep
         if keep <= 0:
+            inv_maps.append(np.full((m,), -1, np.int32))
             continue
         if keep < m:
             # Voxel rows arrive lex-sorted by (x, y, z); truncating the tail
@@ -57,7 +60,10 @@ def collate_padded(
             # uniqueness invariant).
             sel = np.arange(keep, dtype=np.int64) * m // keep
         else:
-            sel = slice(None)
+            sel = np.arange(m, dtype=np.int64)
+        inv = np.full((m,), -1, np.int32)
+        inv[sel] = row + np.arange(keep, dtype=np.int32)
+        inv_maps.append(inv)
         coords[row : row + keep, 0] = b
         coords[row : row + keep, 1:] = s["coordinates"][sel]
         f = s["features"][sel]
@@ -73,7 +79,24 @@ def collate_padded(
         f"mask{suffix}": mask,
     }
     out[f"dropped{suffix}"] = np.int32(dropped)
+    if return_inverse:
+        # Per-sample local-voxel-idx -> collated-row maps, consumed by the
+        # BEV selected-idx remap (lidog_tpu.data.bev); never ships to device.
+        out[f"_inv_maps{suffix}"] = inv_maps
     return out
+
+
+def remap_selected_idx(
+    idx_img: np.ndarray, inv_map: np.ndarray
+) -> np.ndarray:
+    """BEV point-index image with per-scan LOCAL voxel indices -> COLLATED
+    row indices (-1 where empty or the voxel was dropped to capacity).
+    Pairs the reference's `bev_selected_idx` (synth4d_bev.py getBEVImageNew
+    index image) with the padded batch layout so `select_3d`
+    (trainer_lighting_2d.py:126-139) works on device."""
+    return np.where(idx_img >= 0, inv_map[np.maximum(idx_img, 0)], -1).astype(
+        np.int32
+    )
 
 
 def collate_multi_source(

@@ -98,10 +98,18 @@ class MinkUNet34BEV(nn.Module):
                     bound=self.bound_2d,
                     pool_stride=int(3 / sf),
                 )
-                bev_logits[lvl_name] = Encoder2D(
+                head = Encoder2D(
                     n_classes=self.out_channels,
                     binary_seg=self.binary_seg,
                     axis_name=self.axis_name,
                     name=f"encoder2d_{lvl_name}",
                 )(bev, train)
+                if self.binary_seg:
+                    # Reference stores the aux binary map under its own key
+                    # (minkunet_bev.py:384-389); the trainers iterate label
+                    # keys only, so downstream losses are unaffected.
+                    bev_logits[lvl_name] = head[0]
+                    bev_logits[f"{lvl_name}_binary"] = head[1]
+                else:
+                    bev_logits[lvl_name] = head
         return logits, bev_logits

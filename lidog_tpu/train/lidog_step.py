@@ -18,10 +18,28 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from lidog_tpu.core.engine import canon_labels, input_tensor
+from lidog_tpu.core.engine import canon_labels, input_tensor, input_to_canon_map
 from lidog_tpu.core.plan import build_unet_plan
-from lidog_tpu.metrics.metrics import confusion_matrix
+from lidog_tpu.metrics.metrics import confusion_matrix, iou_from_confusion
 from lidog_tpu.train.train_step import TrainState
+
+
+def select_3d_miou(preds_c, labels_c, plan, sel_img, num_classes):
+    """Projected 3D-on-BEV-pixels IoU (reference `select_3d` +
+    jaccard, trainer_lighting_2d.py:126-139, 269-281): restrict the 3D
+    predictions/labels to the points selected into BEV pixels and take the
+    mean IoU over present classes.  sel_img: [B, S, S] collated input rows
+    (-1 empty/dropped) from lidog_tpu.data.collate.remap_selected_idx."""
+    i2c = input_to_canon_map(plan)
+    rows = sel_img.reshape(-1)
+    canon = jnp.where(rows >= 0, i2c[jnp.maximum(rows, 0)], -1)
+    ok = canon >= 0
+    p = preds_c[jnp.maximum(canon, 0)]
+    lab = labels_c[jnp.maximum(canon, 0)]
+    cm = confusion_matrix(p, lab, ok & (lab >= 0), num_classes)
+    iou = iou_from_confusion(cm)
+    present = (jnp.sum(cm, axis=1) > 0).astype(jnp.float32)
+    return jnp.sum(iou * present) / jnp.maximum(jnp.sum(present), 1.0)
 
 
 def _lidog_forward(
@@ -40,15 +58,21 @@ def _lidog_forward(
     sem_loss = sem_criterion(logits, labels_c, valid)
 
     bev_loss = 0.0
+    proj = {}
+    preds = jnp.argmax(logits, axis=-1)
     for key in decoder_levels:
         lab = batch[f"bev_labels_{key}{suffix}"]
         bev_loss = bev_loss + bev_criterion(bev_logits[key], lab) / len(
             decoder_levels
         )
+        sel = batch.get(f"bev_selected_idx_{key}{suffix}")
+        if sel is not None:
+            proj[f"proj_iou_{key}{suffix}"] = select_3d_miou(
+                preds, labels_c, plan, sel, num_classes
+            )
 
-    preds = jnp.argmax(logits, axis=-1)
     cm = confusion_matrix(preds, labels_c, valid, num_classes)
-    return sem_loss, bev_loss, updates["batch_stats"], cm
+    return sem_loss, bev_loss, updates["batch_stats"], cm, proj
 
 
 def make_lidog_train_step(
@@ -86,19 +110,20 @@ def make_lidog_train_step(
             stats = state.batch_stats
             cm = jnp.zeros((num_classes, num_classes), jnp.int32)
             if num_sources == 1:
-                sem, bev, stats, cm_s = _lidog_forward(
+                sem, bev, stats, cm_s, proj = _lidog_forward(
                     model, params, stats, batch, caps, sem_criterion,
                     bev_criterion, decoder_levels, num_classes,
                     plan=plan_for(""),
                 )
                 total = gate * (w[0] * sem + w[1] * bev) + (1 - gate) * bev
                 cm = cm + cm_s
-                aux = {"sem_loss": sem, "bev_loss": bev}
+                aux = {"sem_loss": sem, "bev_loss": bev, **proj}
             else:
                 total = 0.0
                 sems, bevs = [], []
+                aux = {}
                 for s in range(num_sources):
-                    sem, bev, stats, cm_s = _lidog_forward(
+                    sem, bev, stats, cm_s, proj = _lidog_forward(
                         model, params, stats, batch, caps, sem_criterion,
                         bev_criterion, decoder_levels, num_classes,
                         suffix=str(s), plan=plan_for(str(s)),
@@ -107,10 +132,11 @@ def make_lidog_train_step(
                     cm = cm + cm_s
                     sems.append(sem)
                     bevs.append(bev)
-                aux = {
+                    aux.update(proj)
+                aux.update({
                     "sem_loss": sum(sems) / len(sems),
                     "bev_loss": sum(bevs) / len(bevs),
-                }
+                })
             return total, (stats, cm, aux)
 
         (loss, (new_stats, cm, aux)), grads = jax.value_and_grad(

@@ -14,7 +14,11 @@ from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
-from lidog_tpu.data.collate import collate_padded, stack_device_batches
+from lidog_tpu.data.collate import (
+    collate_padded,
+    remap_selected_idx,
+    stack_device_batches,
+)
 
 
 class Loader:
@@ -59,19 +63,38 @@ class Loader:
             out = {}
             for s, key in ((0, "source0"), (1, "source1")):
                 group = [x[key] for x in samples]
-                out.update(collate_padded(group, self.capacity, suffix=str(s)))
+                out.update(collate_padded(
+                    group, self.capacity, suffix=str(s),
+                    return_inverse=bool(self.bev_levels),
+                ))
                 if self.bev_levels:
+                    inv = out.pop(f"_inv_maps{s}")
                     for lvl in self.bev_levels:
                         out[f"bev_labels_{lvl}{s}"] = np.stack(
                             [g["bev_labels"][lvl] for g in group]
                         )
+                        if "bev_selected_idx" in group[0]:
+                            out[f"bev_selected_idx_{lvl}{s}"] = np.stack([
+                                remap_selected_idx(
+                                    g["bev_selected_idx"][lvl], iv
+                                )
+                                for g, iv in zip(group, inv)
+                            ])
             return out
-        out = collate_padded(samples, self.capacity)
+        out = collate_padded(
+            samples, self.capacity, return_inverse=bool(self.bev_levels)
+        )
         if self.bev_levels:
+            inv = out.pop("_inv_maps")
             for lvl in self.bev_levels:
                 out[f"bev_labels_{lvl}"] = np.stack(
                     [x["bev_labels"][lvl] for x in samples]
                 )
+                if "bev_selected_idx" in samples[0]:
+                    out[f"bev_selected_idx_{lvl}"] = np.stack([
+                        remap_selected_idx(x["bev_selected_idx"][lvl], iv)
+                        for x, iv in zip(samples, inv)
+                    ])
         return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
