@@ -161,10 +161,16 @@ def build_source_datasets(config: Config, bev: bool = False):
     if bev:
         m = config.model
         levels = list(getattr(m, "decoder_2d_levels", ["block8"]))
+        # Soft BEV labels when the configured criterion is a soft one
+        # (reference trainer_lighting_2d.py:106-116, 178-185 routes
+        # image-shaped soft labels through SoftCELoss/SoftLabelDICELoss).
+        bev_crit = getattr(config.pipeline.losses, "sem_bev_criterion", "")
         kw.update(
             decoder_2d_levels=levels,
             bev_img_sizes=dict(zip(levels, m.bev_img_sizes)),
             bound_2d=getattr(config.pipeline, "bound_2d", 50.0),
+            soft_bev_labels=bev_crit in ("SoftCELoss", "SoftLabelDICELoss"),
+            num_classes=m.out_channels,
         )
     trains, vals = [], []
     for name in sources_of(config):

@@ -77,6 +77,23 @@ def bev_label_image(
     return img_label, img_idx
 
 
+def soft_from_hard(img_label: np.ndarray, num_classes: int,
+                   eps: float = 0.25) -> np.ndarray:
+    """[S,S] hard label image -> [S,S,C] smoothed soft-label image
+    (reference `get_soft`, synth4d_bev.py:202-211: one-hot 1 -> 1-eps,
+    0 -> eps/(C-1)).  Empty pixels (-1) become all -1 vectors, which both
+    the reference trainer (channel-0 == -1 check,
+    trainer_lighting_2d.py:233-238) and SoftLabelDICELoss/SoftCELoss's
+    ignore handling recognize."""
+    h, w = img_label.shape
+    lo = eps / (num_classes - 1)
+    soft = np.full((h, w, num_classes), lo, np.float32)
+    ys, xs = np.nonzero(img_label >= 0)
+    soft[ys, xs, img_label[ys, xs]] = 1.0 - eps
+    soft[img_label < 0] = -1.0
+    return soft
+
+
 def consensus_labels(inverse: np.ndarray, labels: np.ndarray, num_voxels: int,
                      ignore_label: int = -1) -> np.ndarray:
     """Per-voxel label: unanimous across the voxel's points, else ignore
@@ -101,6 +118,8 @@ def preprocess_scan_bev(
     augmentations: Optional[Compose] = None,
     rng: Optional[np.random.RandomState] = None,
     train: bool = True,
+    soft_bev_labels: bool = False,
+    num_classes: int = 7,
 ) -> Dict[str, np.ndarray]:
     rng = rng or np.random.RandomState()
     bev_img_sizes = bev_img_sizes or {k: 167 for k in decoder_2d_levels}
@@ -132,7 +151,9 @@ def preprocess_scan_bev(
         img, idx = bev_label_image(
             bev_points, cons, bev_img_sizes[key], bound_2d
         )
-        bev_labels[key] = img
+        bev_labels[key] = (
+            soft_from_hard(img, num_classes) if soft_bev_labels else img
+        )
         bev_selected_idx[key] = idx
 
     return {

@@ -31,6 +31,8 @@ class BEVAdapter:
         decoder_2d_levels: Sequence[str] = ("block8",),
         bev_img_sizes: Optional[Dict[str, int]] = None,
         bound_2d: float = 50.0,
+        soft_bev_labels: bool = False,
+        num_classes: int = 7,
     ):
         self.base = base
         self.decoder_2d_levels = tuple(decoder_2d_levels)
@@ -38,6 +40,8 @@ class BEVAdapter:
             k: 167 for k in self.decoder_2d_levels
         }
         self.bound_2d = bound_2d
+        self.soft_bev_labels = soft_bev_labels
+        self.num_classes = num_classes
 
     def __len__(self):
         return len(self.base)
@@ -57,6 +61,8 @@ class BEVAdapter:
             sub_p=self.base.sub_p,
             augmentations=self.base.augmentations,
             train=self.base.phase == "train",
+            soft_bev_labels=self.soft_bev_labels,
+            num_classes=self.num_classes,
         )
 
 

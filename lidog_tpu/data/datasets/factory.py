@@ -51,7 +51,8 @@ def _load_paths(paths_yaml: Optional[str] = None):
     }
 
 
-def _synthetic_pair(kw, bev, decoder_2d_levels, bev_img_sizes, bound_2d):
+def _synthetic_pair(kw, bev, decoder_2d_levels, bev_img_sizes, bound_2d,
+                    soft_bev_labels=False, num_classes=7):
     kw = dict(kw)
     kw.pop("version", None)
     n = int(os.environ.get("LIDOG_TPU_SYNTHETIC_SCANS", "16"))
@@ -61,8 +62,10 @@ def _synthetic_pair(kw, bev, decoder_2d_levels, bev_img_sizes, bound_2d):
     kw_val["augmentations"] = None
     val = SyntheticAdapter(num_scans=max(n // 4, 2), points_per_scan=p, phase="val", **kw_val)
     if bev:
-        train = BEVAdapter(train, decoder_2d_levels, bev_img_sizes, bound_2d)
-        val = BEVAdapter(val, decoder_2d_levels, bev_img_sizes, bound_2d)
+        train = BEVAdapter(train, decoder_2d_levels, bev_img_sizes, bound_2d,
+                           soft_bev_labels, num_classes)
+        val = BEVAdapter(val, decoder_2d_levels, bev_img_sizes, bound_2d,
+                         soft_bev_labels, num_classes)
     return train, val
 
 
@@ -78,6 +81,7 @@ def get_dataset(
     decoder_2d_levels=("block8",),
     bev_img_sizes=None,
     bound_2d: float = 50.0,
+    soft_bev_labels: bool = False,
     paths_yaml: Optional[str] = None,
 ):
     """Return (train_dataset, val_dataset) for a reference dataset name."""
@@ -104,7 +108,8 @@ def get_dataset(
     )
     if synthetic:
         kw["augmentations"] = aug
-        return _synthetic_pair(kw, bev, decoder_2d_levels, bev_img_sizes, bound_2d)
+        return _synthetic_pair(kw, bev, decoder_2d_levels, bev_img_sizes,
+                               bound_2d, soft_bev_labels, num_classes)
 
     p = paths[base_name]
     root = p["data_path"]
@@ -155,6 +160,8 @@ def get_dataset(
         raise NotImplementedError(f"unknown dataset {dataset_name!r}")
 
     if bev:
-        train = BEVAdapter(train, decoder_2d_levels, bev_img_sizes, bound_2d)
-        val = BEVAdapter(val, decoder_2d_levels, bev_img_sizes, bound_2d)
+        train = BEVAdapter(train, decoder_2d_levels, bev_img_sizes, bound_2d,
+                           soft_bev_labels, num_classes)
+        val = BEVAdapter(val, decoder_2d_levels, bev_img_sizes, bound_2d,
+                         soft_bev_labels, num_classes)
     return train, val
