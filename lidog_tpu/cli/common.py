@@ -92,6 +92,30 @@ def make_plan_builder(config, batch_size: int,
     return builder, caps
 
 
+def device_count_of(config) -> int:
+    """Number of data-parallel devices, honoring `pipeline.gpus`.
+
+    The reference sizes DDP from len(config.pipeline.gpus)
+    (train_lidog.py:227-231).  TPU-first deviation, now documented AND
+    honored: we fan out over min(len(pipeline.gpus), visible chips) —
+    pipeline.gpus entries are counts, not device ids (TPU chips are
+    homogeneous).  LIDOG_TPU_DEVICES overrides; unset gpus -> all chips."""
+    import jax
+
+    avail = jax.local_device_count()
+    env = os.environ.get("LIDOG_TPU_DEVICES")
+    if env:
+        return max(1, min(int(env), avail))
+    gpus = getattr(config.pipeline, "gpus", None)
+    if gpus:
+        n = len(gpus)
+        if n > avail:
+            print(f"[warn] pipeline.gpus requests {n} devices; only {avail} "
+                  "visible — using all visible chips.")
+        return max(1, min(n, avail))
+    return avail
+
+
 def train_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--config_file", required=True)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from lidog_tpu.cli.common import (
+    device_count_of,
     build_source_datasets,
     build_target_datasets,
     make_plan_builder,
@@ -55,7 +56,7 @@ def train(config, auto_resume=False, resume_checkpoint=None):
     # SyncBN when len(pipeline.gpus) > 1, train_lidog.py:227-231); here a
     # 1-D data mesh with grads/BN-stats psum over ICI.  batch_size is
     # per-device, matching the reference's per-GPU batch.
-    n_devices = jax.local_device_count()
+    n_devices = device_count_of(config)
     parallel = n_devices > 1
     axis_name = DATA_AXIS if parallel else None
     # Under shard_map the plan is built in-graph; LIDOG_TPU_PLAN=generic
@@ -119,7 +120,9 @@ def train(config, auto_resume=False, resume_checkpoint=None):
         plan_fn=in_graph_plan if parallel else None,
     )
     if parallel:
-        step = make_parallel_train_step(data_mesh(), step)
+        step = make_parallel_train_step(
+            data_mesh(jax.devices()[:n_devices]), step
+        )
 
     run_name = run_name_of(config, config.pipeline.wandb.run_name)
     trainer = Trainer(
