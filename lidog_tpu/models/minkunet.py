@@ -66,17 +66,8 @@ class SparseConv(nn.Module):
                 w[:, 0, :].astype(x.feats.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(x.feats.dtype)
-            if isinstance(plan, ZPlan):
-                # occupancy lives on the REAL level-0 layout; scatter rows
-                # into the augmented layout (ghost rows zero).
-                r2a = plan.kmaps["real_to_aug"]
-                cap = out_l.coords.shape[0]
-                slot = jnp.where(r2a >= 0, r2a, cap)
-                feats = (
-                    jnp.zeros((cap + 1, feats.shape[1]), feats.dtype)
-                    .at[slot]
-                    .set(feats, mode="drop")[:cap]
-                )
+            # ZPlan: stem_occ is already in the augmented level-0 layout
+            # (fused stem+conv9 sweep); ghost rows zero out via the mask.
             feats = feats * out_l.mask[:, None].astype(feats.dtype)
             return SparseTensor(
                 coords=out_l.coords, feats=feats, mask=out_l.mask,
@@ -265,10 +256,18 @@ class MinkUNetBackbone(nn.Module):
     # entries for (stem, stage1..4); 'bn' everywhere in plain MinkUNet34.
     encoder_norms: Sequence[str] = ("bn", "bn", "bn", "bn", "bn")
     block_norms: Sequence[str] = ("bn", "bn", "bn", "bn")  # blocks 1..4
+    # Rematerialize BasicBlocks in the backward (jax.checkpoint): trades
+    # a forward recompute for not keeping block activations live — a
+    # memory/time knob for the HBM-pressure regime.
+    remat: bool = False
 
     def _blocks(self, n, planes, level, norm, name):
+        cls = (
+            nn.remat(BasicBlock, static_argnums=(3,)) if self.remat
+            else BasicBlock
+        )
         return [
-            BasicBlock(
+            cls(
                 planes,
                 level,
                 axis_name=self.axis_name,
@@ -350,6 +349,7 @@ class MinkUNet34(nn.Module):
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
     compute_dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -361,6 +361,7 @@ class MinkUNet34(nn.Module):
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name="backbone",
         )(x, plan, train)
         if is_seg:

@@ -159,7 +159,14 @@ def _split_segs(nb, arrs_caps):
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb):
     """x [Na, Cin]; nbr [9, Na]; wf [9, 3*Cin, Cout] (xy lexicographic,
-    z taps ordered -1, 0, +1 along the 3*Cin axis)."""
+    z taps ordered -1, 0, +1 along the 3*Cin axis).
+
+    Loop shape (profiled, micro_zstep + hlo_stats): NO loop-carried
+    accumulator — a per-offset scan carrying an f32 [cap, C] accumulator
+    re-reads+rewrites it every iteration (HBM-bound convolution_add
+    fusions dominated the step).  Instead: ONE batched GEMM produces all
+    9 offset projections (reads xc once), the scan emits stacked gathers,
+    and a single reduction folds them."""
     na, cin = x.shape
     cout = wf.shape[2]
     cap = na // nb
@@ -172,17 +179,16 @@ def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb):
     def per_b(args):
         xb, zu, zd, ib = args
         xc = _zcat(xb, zu, zd)
+        u9 = jnp.einsum(
+            "nc,dck->dnk", xc, wf, preferred_element_type=accum_dtype
+        ).astype(xb.dtype)  # [9, cap, cout] — xc read ONCE
 
-        def body(acc, xs_):
-            i, w = xs_
-            u = jnp.dot(xc, w, preferred_element_type=accum_dtype).astype(
-                xb.dtype
-            )
-            return acc + _local_gather(u, i, cap).astype(accum_dtype), None
+        def body(_, xs_):
+            i, u = xs_
+            return None, _local_gather(u, i, cap)
 
-        acc0 = jnp.zeros((cap, cout), accum_dtype)
-        acc, _ = jax.lax.scan(body, acc0, (ib, wf), unroll=unroll)
-        return acc.astype(xb.dtype)
+        _, g9 = jax.lax.scan(body, None, (ib, u9), unroll=unroll)
+        return jnp.sum(g9.astype(accum_dtype), axis=0).astype(xb.dtype)
 
     out = jax.lax.map(per_b, (xs, zus, zds, nbrs))
     return out.reshape(na, cout)
@@ -207,7 +213,6 @@ def _zconv3_bwd(accum_dtype, unroll, nb, res, dout):
     """
     x, nbr, zup, zdn, wf = res
     na, cin = x.shape
-    cin3 = wf.shape[1]
     cap = na // nb
     wt = jnp.transpose(wf[::-1], (0, 2, 1))  # [9, Cout, 3Cin]
     dout = dout.astype(x.dtype)
@@ -220,20 +225,21 @@ def _zconv3_bwd(accum_dtype, unroll, nb, res, dout):
     def per_b(args):
         xb, zu, zd, ib, db = args
         xc = _zcat(xb, zu, zd)
-        xcf = xc.astype(jnp.float32)
 
-        def body(acc, xs_):
-            i, wt_e = xs_
-            g = _local_gather(db, i, cap)  # [cap, Cout]
-            dxc = jnp.dot(g, wt_e, preferred_element_type=accum_dtype)
-            dw = jnp.einsum(
-                "nc,nd->cd", xcf, g.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )  # [3Cin, Cout] for offset 8-e
-            return acc + dxc, dw
+        def body(_, i):
+            return None, _local_gather(db, i, cap)
 
-        acc0 = jnp.zeros((cap, cin3), accum_dtype)
-        dxc, dw_rev = jax.lax.scan(body, acc0, (ib, wt), unroll=unroll)
+        _, g9 = jax.lax.scan(body, None, ib, unroll=unroll)  # [9, cap, Cout]
+        # Batched contractions instead of a 9-step f32 [cap, 3Cin]
+        # accumulator (profiled HBM killer).  bf16 inputs with f32
+        # preferred_element_type accumulate exactly on the MXU — no f32
+        # materialization of xc.
+        dxc = jnp.einsum(
+            "dnk,dkc->nc", g9, wt, preferred_element_type=accum_dtype
+        )
+        dw_rev = jnp.einsum(
+            "nc,dnk->dck", xc, g9, preferred_element_type=jnp.float32
+        )  # [9, 3Cin, Cout], entry e holds dW[8-e]
         dx = _zcat_t(dxc.astype(xb.dtype), zu, zd)
         return dx, dw_rev
 
@@ -285,34 +291,38 @@ def zconv3(x, nbr9, zup, zdn, weights, *, out_mask=None,
 
 
 def _onehot_matmuls(g, off_id, ws, accum_dtype, transpose=False):
-    """sum_o (off_id == o) * (g @ ws[o](^T)) — per-row weight select."""
-    n = g.shape[0]
-    cout = ws.shape[1] if transpose else ws.shape[2]
-    out = jnp.zeros((n, cout), accum_dtype)
-    for o in range(ws.shape[0]):
-        sel = (off_id == o).astype(g.dtype)[:, None]
-        w = ws[o].T if transpose else ws[o]
-        out = out + jnp.dot(g * sel, w, preferred_element_type=accum_dtype)
-    return out
+    """out[n] = g[n] @ ws[off_id[n]](^T) — per-row weight select.
+
+    One batched GEMM (reads g once) + a one-hot masked reduce, instead of
+    8 masked copies of g and 8 f32 accumulator read-modify-writes (the
+    profiled HBM pattern; see _zconv3_core's loop-shape note)."""
+    k8 = ws.shape[0]
+    eq = "nc,okc->nok" if transpose else "nc,ock->nok"
+    u8 = jnp.einsum(eq, g, ws, preferred_element_type=accum_dtype).astype(
+        g.dtype
+    )  # [n, k8, cout]
+    sel = (
+        off_id[:, None] == jnp.arange(k8, dtype=off_id.dtype)[None, :]
+    ).astype(g.dtype)
+    return jnp.einsum("nok,no->nk", u8, sel,
+                      preferred_element_type=accum_dtype)
 
 
 def _onehot_dw(x, g, off_id, k8):
-    """dW[o] = x^T @ (g masked to off_id == o)  — [k8, Cin, Cout]."""
-    dws = []
-    xf = x.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    for o in range(k8):
-        sel = (off_id == o).astype(jnp.float32)[:, None]
-        dws.append(
-            jnp.einsum(
-                "nc,nd->cd", xf, gf * sel, preferred_element_type=jnp.float32
-            )
-        )
-    return jnp.stack(dws)
+    """dW[o] = x^T @ (g masked to off_id == o)  — [k8, Cin, Cout].
+    bf16 inputs, f32 MXU accumulation (no f32 materialization)."""
+    sel = (
+        off_id[:, None] == jnp.arange(k8, dtype=off_id.dtype)[None, :]
+    ).astype(g.dtype)
+    return jnp.einsum(
+        "nc,nk,no->ock", x, g, sel, preferred_element_type=jnp.float32
+    )
 
 
 def _down_loop(x, nbr8, w8, accum_dtype, unroll, nb):
-    """out[I] = sum_k x[nbr8[k, I]] @ w8[k] — segments-outer gather-GEMM.
+    """out[I] = sum_k x[nbr8[k, I]] @ w8[k] — segments-outer, stacked
+    gathers + ONE batched contraction (no loop-carried accumulator; see
+    _zconv3_core's loop-shape note).
 
     x [B*cap_u, Cin] (fine); nbr8 [8, B*cap_out] global fine rows."""
     n_out = nbr8.shape[1]
@@ -326,17 +336,13 @@ def _down_loop(x, nbr8, w8, accum_dtype, unroll, nb):
     def per_b(args):
         xb, ib = args
 
-        def body(acc, xs_):
-            i, w_k = xs_
-            g = _local_gather(xb, i, cap_u)
-            return (
-                acc + jnp.dot(g, w_k, preferred_element_type=accum_dtype),
-                None,
-            )
+        def body(_, i):
+            return None, _local_gather(xb, i, cap_u)
 
-        acc0 = jnp.zeros((cap_out, cout), accum_dtype)
-        acc, _ = jax.lax.scan(body, acc0, (ib, w8), unroll=unroll)
-        return acc
+        _, g8 = jax.lax.scan(body, None, ib, unroll=unroll)  # [8, capO, Cin]
+        return jnp.einsum(
+            "dnc,dck->nk", g8, w8, preferred_element_type=accum_dtype
+        )
 
     out = jax.lax.map(per_b, (xs, nbrs))
     return out.reshape(n_out, cout)
