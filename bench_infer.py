@@ -7,6 +7,7 @@ line (supplementary to bench.py, which reports training throughput).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -16,6 +17,9 @@ BATCH = 1
 POINTS = 100_000
 VOXEL = 0.05
 CAPS = (131_072, 65_536, 32_768, 12_288, 4_096)
+# zseg engine per-scan caps (see bench.py)
+ZCAPS_R = (92_160, 61_440, 22_528, 9_216, 3_584)
+ZCAPS_A = (139_264, 86_016, 26_624, 10_752, 4_608)
 STEPS = 20
 
 
@@ -27,7 +31,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from lidog_tpu.core.plan import input_tensor
+    from lidog_tpu.core.engine import input_tensor
     from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
     from lidog_tpu.data.synthetic import SyntheticLidarDataset
     from lidog_tpu.models import MinkUNet34
@@ -39,7 +43,14 @@ def main():
     valid = jnp.ones(pts.shape[:2], bool)
 
     model = MinkUNet34(in_channels=1, out_channels=7, compute_dtype=jnp.bfloat16)
-    builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
+    if os.environ.get("LIDOG_TPU_ENGINE", "zseg") == "zseg":
+        from lidog_tpu.core.zseg import ZSegPlanBuilder
+
+        builder = jax.jit(ZSegPlanBuilder(
+            ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024
+        ))
+    else:
+        builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
     batch0 = device_batch_from_points(pts, valid, labels, VOXEL, CAPS[0])
     plan0 = builder(batch0["coords"], batch0["mask"])
     x0 = input_tensor(plan0, batch0["feats"])

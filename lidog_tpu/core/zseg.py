@@ -211,6 +211,43 @@ def compact_table_seg(bits, coords, valid, grid_half: int, level: int,
     return col_grid, compact, extra
 
 
+def _ranks_for_offsets(grid_b, comp_b, gx0, gy0, bz0, valid_b,
+                       xy_offsets, z_offsets, g: int, w: int, seg_cap: int):
+    """Single-batch kernel-map lookup: id wide-row lookup + compact fetch
+    + rank extraction, all consumed in place (keeps XLA from
+    materializing giant fetched-row stacks — the profiled plan killer).
+
+    grid_b [g*g/w, w] int32 (one batch's id grid, BATCH-LOCAL cids);
+    comp_b [col_cap_b, ZWORDS+2]; queries gx0/gy0/bz0/valid_b [nq].
+    Returns LOCAL positions [n_xy*n_z, nq] (-1 miss)."""
+    col_cap_b = comp_b.shape[0]
+    shift = int(np.log2(w))
+    outs = []
+    for dx, dy in xy_offsets:
+        gx = gx0 + dx
+        gy = gy0 + dy
+        okc = valid_b & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+        flat = jnp.where(okc, gx * g + gy, 0)
+        rows = grid_b[flat >> shift]  # [nq, w]
+        el = (flat & (w - 1))[:, None]
+        sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == el
+        cid = jnp.sum(jnp.where(sel, rows, 0), axis=-1)
+        hit = okc & (cid >= 0) & (cid < col_cap_b)
+        crow = comp_b[jnp.clip(cid, 0, col_cap_b - 1)]  # [nq, ZWORDS+2]
+        bits_u = crow[:, :ZWORDS].astype(jnp.uint32)
+        startv = crow[:, ZWORDS]
+        for dz in z_offsets:
+            bz = bz0 + dz
+            okz = hit & (bz >= 0) & (bz < ZWORDS * 32)
+            rank, exists = _rank_from_row(
+                bits_u, jnp.clip(bz, 0, ZWORDS * 32 - 1)
+            )
+            idx = startv + rank
+            ok = okz & exists & (idx < seg_cap)
+            outs.append(jnp.where(ok, idx, -1).astype(jnp.int32))
+    return jnp.stack(outs, axis=0)
+
+
 @partial(jax.jit, static_argnames=("xy_offsets", "z_offsets", "grid_half",
                                    "level", "seg_cap", "chunk_batches"))
 def lookup_map_seg(col_id, compact, coords, valid, xy_offsets: tuple,
@@ -221,9 +258,11 @@ def lookup_map_seg(col_id, compact, coords, valid, xy_offsets: tuple,
     (per-segment overflow) resolve to -1.
 
     chunk_batches > 0 declares the query rows themselves SEGMENTED (row
-    j belongs to batch j // (n // chunk_batches)) — required to chunk the
-    compact gather per batch; pass 0 for arbitrary-order queries (e.g.
-    raw input coords), which fall back to one global gather."""
+    j belongs to batch j // (n // chunk_batches)) and runs the whole
+    lookup segments-outer (per-batch grid slice ~32k wide rows, compact
+    slice under the cliff, rank math fused in the loop body — no
+    transposed row stacks); pass 0 for arbitrary-order queries (e.g. raw
+    input coords), which fall back to one global pass."""
     g = (2 * grid_half) >> level
     n = coords.shape[0]
     nb = chunk_batches
@@ -231,9 +270,42 @@ def lookup_map_seg(col_id, compact, coords, valid, xy_offsets: tuple,
     gx0 = (coords[:, 1] >> level) + (grid_half >> level)
     gy0 = (coords[:, 2] >> level) + (grid_half >> level)
     bz0 = (coords[:, 3] >> level) + ZC
-    seg_base = b * seg_cap
+    n_xy = len(xy_offsets)
+    n_out = n_xy * len(z_offsets)
     col_cap = compact.shape[0]
 
+    if nb > 0:
+        w = min(GRID_ROW_W, g)
+        cap_q = n // nb
+        grid_s = col_id.reshape(nb, (g * g) // w, w)
+        # batch-local cids in the per-batch grid slice
+        base = (jnp.arange(nb, dtype=jnp.int32) * (col_cap // nb))
+        grid_s = jnp.where(grid_s >= 0, grid_s - base[:, None, None], -1)
+        comp_s = compact.reshape(nb, col_cap // nb, ZWORDS + 2)
+        # starts are globally segmented; make them local for the seg test
+        start_local = (
+            comp_s.at[..., ZWORDS].add(
+                -(jnp.arange(nb, dtype=jnp.int32) * seg_cap)[:, None]
+            )
+        )
+
+        def per_b(args):
+            gb, cb, gx_b, gy_b, bz_b, ok_b = args
+            return _ranks_for_offsets(
+                gb, cb, gx_b, gy_b, bz_b, ok_b, xy_offsets, z_offsets,
+                g, w, seg_cap,
+            )
+
+        loc = jax.lax.map(per_b, (
+            grid_s, start_local,
+            gx0.reshape(nb, cap_q), gy0.reshape(nb, cap_q),
+            bz0.reshape(nb, cap_q), valid.reshape(nb, cap_q),
+        ))  # [nb, n_out, cap_q]
+        seg_off = (jnp.arange(nb, dtype=jnp.int32) * seg_cap)[:, None, None]
+        out = jnp.where(loc >= 0, loc + seg_off, -1)
+        return out.transpose(1, 0, 2).reshape(n_out, n)
+
+    seg_base = b * seg_cap
     dxs = jnp.asarray(np.array([d[0] for d in xy_offsets], np.int32))
     dys = jnp.asarray(np.array([d[1] for d in xy_offsets], np.int32))
     gx = gx0[None, :] + dxs[:, None]
@@ -247,13 +319,7 @@ def lookup_map_seg(col_id, compact, coords, valid, xy_offsets: tuple,
         okc.reshape(-1), g, nb,
     )
     hit_col = cids >= 0
-    n_xy = len(xy_offsets)
-    if nb > 0:
-        rows = _chunked_compact_rows(
-            compact, cids.reshape(n_xy, nb, n // nb), nb, col_cap // nb
-        ).reshape(n_xy * n, ZWORDS + 2)
-    else:
-        rows = compact[jnp.where(hit_col, cids, 0)]
+    rows = compact[jnp.where(hit_col, cids, 0)]
     bits_u = rows[:, :ZWORDS].astype(jnp.uint32).reshape(n_xy, n, ZWORDS)
     startv = rows[:, ZWORDS].reshape(n_xy, n)
     hit_col = hit_col.reshape(n_xy, n)
@@ -344,62 +410,77 @@ def stem_conv9_seg(col_id, compact, real_rows, coords, valid, r: int,
     n = coords.shape[0]
     nb = chunk_batches
     col_cap = compact.shape[0]
-    b = coords[:, 0]
-    bz0 = coords[:, 3] + ZC
-    seg_base = b * seg_cap
+    col_cap_b = col_cap // nb
+    cap_q = n // nb
+    w = min(GRID_ROW_W, g)
+    shift = int(np.log2(w))
     xy = [(dx, dy) for dx in rng_ for dy in rng_]
-    inner = [ci for ci, (dx, dy) in enumerate(xy)
-             if abs(dx) <= 1 and abs(dy) <= 1]
-    dxs = jnp.asarray(np.array([d[0] for d in xy], np.int32))
-    dys = jnp.asarray(np.array([d[1] for d in xy], np.int32))
-    gx = (coords[:, 1] + grid_half)[None, :] + dxs[:, None]
-    gy = (coords[:, 2] + grid_half)[None, :] + dys[:, None]
-    okc = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-    cids = _grid_lookup(
-        col_id,
-        jnp.broadcast_to(b[None, :], gx.shape).reshape(-1),
-        jnp.clip(gx, 0, g - 1).reshape(-1),
-        jnp.clip(gy, 0, g - 1).reshape(-1),
-        okc.reshape(-1), g, nb,
-    ).reshape(len(xy), n)
-    hit = cids >= 0
+    inner = {ci for ci, (dx, dy) in enumerate(xy)
+             if abs(dx) <= 1 and abs(dy) <= 1}
 
-    cids_seg = cids.reshape(len(xy), nb, n // nb)
-    rrows = _chunked_compact_rows(
-        real_rows, cids_seg, nb, col_cap // nb
-    ).reshape(len(xy), n, ZWORDS + 2)
-    arows = _chunked_compact_rows(
-        compact, cids_seg[jnp.asarray(inner)], nb, col_cap // nb
-    ).reshape(9, n, ZWORDS + 2)
+    grid_s = col_id.reshape(nb, (g * g) // w, w)
+    base = jnp.arange(nb, dtype=jnp.int32) * col_cap_b
+    grid_s = jnp.where(grid_s >= 0, grid_s - base[:, None, None], -1)
+    comp_s = compact.reshape(nb, col_cap_b, ZWORDS + 2)
+    comp_s = comp_s.at[..., ZWORDS].add(
+        -(jnp.arange(nb, dtype=jnp.int32) * seg_cap)[:, None]
+    )
+    real_s = real_rows.reshape(nb, col_cap_b, ZWORDS + 2)
 
-    occ_cols = []
-    for ci in range(len(xy)):
-        rowb = rrows[ci, :, :ZWORDS].astype(jnp.uint32)
-        widx = jax.lax.broadcasted_iota(jnp.int32, rowb.shape, 1)
-        for dz in rng_:
-            bz = bz0 + dz
-            okz = hit[ci] & (bz >= 0) & (bz < ZWORDS * 32)
-            bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
-            w = jnp.sum(
-                jnp.where(widx == (bzc >> 5)[:, None], rowb, jnp.uint32(0)),
-                axis=-1, dtype=jnp.uint32,
-            )
-            bit = (w >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
-            occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
-    occ = jnp.stack(occ_cols, axis=1).astype(jnp.bfloat16)
+    gx0 = coords[:, 1] + grid_half
+    gy0 = coords[:, 2] + grid_half
+    bz0 = coords[:, 3] + ZC
 
-    conv9 = []
-    for k, ci in enumerate(inner):
-        bits_u = arows[k, :, :ZWORDS].astype(jnp.uint32)
-        startv = arows[k, :, ZWORDS]
-        okz = hit[ci] & (bz0 >= 0) & (bz0 < ZWORDS * 32)
-        rank, exists = _rank_from_row(
-            bits_u, jnp.clip(bz0, 0, ZWORDS * 32 - 1)
-        )
-        idx = startv + rank
-        ok = okz & exists & ((idx - seg_base) < seg_cap)
-        conv9.append(jnp.where(ok, idx, -1).astype(jnp.int32))
-    return occ, jnp.stack(conv9, axis=0)
+    def per_b(args):
+        gb, cb, rb, gx_b, gy_b, bz_b, ok_b = args
+        occ_cols = []
+        conv9 = []
+        bzc0 = jnp.clip(bz_b, 0, ZWORDS * 32 - 1)
+        for ci, (dx, dy) in enumerate(xy):
+            gx = gx_b + dx
+            gy = gy_b + dy
+            okc = ok_b & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
+            flat = jnp.where(okc, gx * g + gy, 0)
+            rows = gb[flat >> shift]
+            el = (flat & (w - 1))[:, None]
+            sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == el
+            cid = jnp.sum(jnp.where(sel, rows, 0), axis=-1)
+            hit = okc & (cid >= 0) & (cid < col_cap_b)
+            cidc = jnp.clip(cid, 0, col_cap_b - 1)
+            rrow = rb[cidc][:, :ZWORDS].astype(jnp.uint32)
+            widx = jax.lax.broadcasted_iota(jnp.int32, rrow.shape, 1)
+            for dz in rng_:
+                bz = bz_b + dz
+                okz = hit & (bz >= 0) & (bz < ZWORDS * 32)
+                bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
+                wrd = jnp.sum(
+                    jnp.where(widx == (bzc >> 5)[:, None], rrow,
+                              jnp.uint32(0)),
+                    axis=-1, dtype=jnp.uint32,
+                )
+                bit = (wrd >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
+                occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
+            if ci in inner:
+                arow = cb[cidc]
+                bits_u = arow[:, :ZWORDS].astype(jnp.uint32)
+                startv = arow[:, ZWORDS]
+                okz0 = hit & (bz_b >= 0) & (bz_b < ZWORDS * 32)
+                rank, exists = _rank_from_row(bits_u, bzc0)
+                idx = startv + rank
+                ok = okz0 & exists & (idx < seg_cap)
+                conv9.append(jnp.where(ok, idx, -1).astype(jnp.int32))
+        occ = jnp.stack(occ_cols, axis=1).astype(jnp.bfloat16)
+        return occ, jnp.stack(conv9, axis=0)
+
+    occ_s, conv9_s = jax.lax.map(per_b, (
+        grid_s, comp_s, real_s,
+        gx0.reshape(nb, cap_q), gy0.reshape(nb, cap_q),
+        bz0.reshape(nb, cap_q), valid.reshape(nb, cap_q),
+    ))  # [nb, cap_q, 125], [nb, 9, cap_q]
+    occ = occ_s.reshape(n, len(xy) * len(list(rng_)))
+    seg_off = (jnp.arange(nb, dtype=jnp.int32) * seg_cap)[:, None, None]
+    conv9 = jnp.where(conv9_s >= 0, conv9_s + seg_off, -1)
+    return occ, conv9.transpose(1, 0, 2).reshape(9, n)
 
 
 @jax.jit
@@ -551,12 +632,33 @@ class ZSegPlanBuilder:
                 (-1, 0, 1), gh, i, capA,
                 chunk_batches=0 if i == 0 else B,
             )
-            dz = jnp.asarray([[-s], [0], [s]], jnp.int32)
-            cand = jnp.broadcast_to(
-                src_coords[None], (3,) + src_coords.shape
-            ).reshape(-1, 4)
-            cand = cand.at[:, 3].add(jnp.repeat(dz[:, 0], src_coords.shape[0]))
-            coords_a = _scatter_rows(pos3.reshape(-1), cand, B * capA)
+            # Scatter ONE packed int32 per candidate instead of an [n, 4]
+            # coord row — the coord scatters were the plan's single
+            # biggest cost (VMEM-write-bound, ~19% of the build; plan
+            # profile 2026-08).  Layout: gxgy<<9 | bz (cell coords at
+            # this level; b is implied by the row's segment).
+            g_lvl = (2 * gh) >> i
+            cgx = (src_coords[:, 1] >> i) + (gh >> i)
+            cgy = (src_coords[:, 2] >> i) + (gh >> i)
+            cbz = (src_coords[:, 3] >> i) + ZC
+            packed0 = (
+                ((cgx * g_lvl + cgy).astype(jnp.uint32) << 9)
+                | cbz.astype(jnp.uint32)
+            )
+            # dz in {-s, 0, +s} shifts bz by {-1, 0, +1} at this level
+            cand_p = jnp.concatenate(
+                [packed0 - 1, packed0, packed0 + 1]
+            ).astype(jnp.int32)
+            packed_a = _scatter_rows(pos3.reshape(-1), cand_p, B * capA)
+            pu = packed_a.astype(jnp.uint32)
+            gxgy = (pu >> 9).astype(jnp.int32)
+            ax = ((gxgy // g_lvl) - (gh >> i)) << i
+            ay = ((gxgy % g_lvl) - (gh >> i)) << i
+            az = ((pu & jnp.uint32(511)).astype(jnp.int32) - ZC) << i
+            ab = (
+                jnp.arange(B * capA, dtype=jnp.int32) // capA
+            )
+            coords_a = jnp.stack([ab, ax, ay, az], axis=1)
             real_a = _scatter_flag(pos3[1], src_valid, B * capA)
             counts_a = _per_batch_counts(bits_a)
             valid_a = _seg_valid_mask(counts_a, B, capA)
