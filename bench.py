@@ -35,9 +35,10 @@ VOXEL = 0.05
 RADIUS = 50.0
 CAPS = (393_216, 196_608, 98_304, 32_768, 12_288)
 # zseg engine (round 3): PER-SCAN real/augmented capacities, sized from
-# ring-scan stats * ~1.15 headroom (overflow 0 at bench scale).
+# measured ring-scan occupancy (79158/114895 real/aug at L0 etc.) + ~8%
+# headroom; the run asserts plan overflow stays 0 so the caps are honest.
 ZCAPS_R = (92_160, 61_440, 22_528, 9_216, 3_584)
-ZCAPS_A = (139_264, 86_016, 26_624, 10_752, 4_608)
+ZCAPS_A = (122_880, 77_824, 25_600, 10_752, 4_352)
 STEPS = 10
 
 
@@ -83,6 +84,9 @@ def main():
         builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
     batch0 = device_batch_from_points(pts_d, valid_d, labels_d, VOXEL, CAPS[0])
     plan0 = builder(batch0["coords"], batch0["mask"])
+    assert int(np.asarray(plan0.overflow).sum()) == 0, (
+        f"bench caps overflowed: {np.asarray(plan0.overflow)}"
+    )
     x0 = input_tensor(plan0, batch0["feats"])
     variables = model.init(jax.random.PRNGKey(0), x0, plan0, train=False)
 

@@ -19,7 +19,7 @@ VOXEL = 0.05
 CAPS = (131_072, 65_536, 32_768, 12_288, 4_096)
 # zseg engine per-scan caps (see bench.py)
 ZCAPS_R = (92_160, 61_440, 22_528, 9_216, 3_584)
-ZCAPS_A = (139_264, 86_016, 26_624, 10_752, 4_608)
+ZCAPS_A = (122_880, 77_824, 25_600, 10_752, 4_352)
 STEPS = 20
 
 

@@ -51,8 +51,18 @@ def bev_label_image(
     labels: np.ndarray,
     img_size: int,
     bound: float = 50.0,
+    use_native: bool = True,
 ):
-    """Rasterize labeled metric points into ([S,S] label, [S,S] point idx)."""
+    """Rasterize labeled metric points into ([S,S] label, [S,S] point idx).
+    Prefers the C++ raster (native/voxelizer.cpp lidog_bev_raster — same
+    semantics, ~10x on this 1-core host); numpy fallback below."""
+    if use_native:
+        from lidog_tpu.utils import native
+
+        out = native.bev_raster_native(points, labels, img_size, bound,
+                                       Z_RANGE)
+        if out is not None:
+            return out
     h = w = img_size
     gx = 2.0 * bound / img_size
     img_label = -np.ones((h, w), np.int32)
@@ -95,9 +105,18 @@ def soft_from_hard(img_label: np.ndarray, num_classes: int,
 
 
 def consensus_labels(inverse: np.ndarray, labels: np.ndarray, num_voxels: int,
-                     ignore_label: int = -1) -> np.ndarray:
+                     ignore_label: int = -1, use_native: bool = True) -> np.ndarray:
     """Per-voxel label: unanimous across the voxel's points, else ignore
-    (ME sparse_quantize label-consensus semantics)."""
+    (ME sparse_quantize label-consensus semantics).  Prefers the C++
+    kernel (lidog_consensus) — the numpy ufunc.at path below is the
+    single slowest host op in the BEV pipeline."""
+    if use_native:
+        from lidog_tpu.utils import native
+
+        out = native.consensus_native(labels, inverse, num_voxels,
+                                      ignore_label)
+        if out is not None:
+            return out
     shifted = labels.astype(np.int64) + 10  # make ignore (-1) nonnegative
     lo = np.full(num_voxels, np.iinfo(np.int64).max, np.int64)
     hi = np.full(num_voxels, np.iinfo(np.int64).min, np.int64)

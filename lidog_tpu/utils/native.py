@@ -52,6 +52,22 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    try:
+        lib.lidog_consensus.restype = None
+        lib.lidog_consensus.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.lidog_bev_raster.restype = None
+        lib.lidog_bev_raster.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    except AttributeError:  # stale .so without the BEV kernels
+        pass
     _lib = lib
     return _lib
 
@@ -116,3 +132,44 @@ def crop_and_map_native(
         out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out_p[:k], out_l[:k]
+
+
+def consensus_native(labels: np.ndarray, inverse: np.ndarray, n_vox: int,
+                     ignore_label: int = -1):
+    """Per-voxel consensus label (native twin of data.bev.consensus_labels);
+    None when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lidog_consensus"):
+        return None
+    lab = np.ascontiguousarray(labels, np.int32)
+    inv = np.ascontiguousarray(inverse, np.int64)
+    out = np.empty((n_vox,), np.int32)
+    lib.lidog_consensus(
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lab.shape[0], n_vox, ignore_label,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
+def bev_raster_native(points: np.ndarray, labels: np.ndarray, img_size: int,
+                      bound: float, z_range=(-10.0, 8.0)):
+    """BEV label + point-index raster (native twin of bev_label_image);
+    None when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lidog_bev_raster"):
+        return None
+    pts = np.ascontiguousarray(points[:, :3], np.float32)
+    lab = np.ascontiguousarray(labels, np.int32)
+    img = np.empty((img_size, img_size), np.int32)
+    idx = np.empty((img_size, img_size), np.int32)
+    lib.lidog_bev_raster(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pts.shape[0], img_size, ctypes.c_float(bound),
+        ctypes.c_float(z_range[0]), ctypes.c_float(z_range[1]),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return img, idx

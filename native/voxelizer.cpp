@@ -138,3 +138,51 @@ int64_t lidog_crop_map(const float* points, const int32_t* raw_labels,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Per-voxel consensus label (twin of lidog_tpu.data.bev.consensus_labels;
+// ME sparse_quantize label-consensus semantics): unanimous across the
+// voxel's points, else `ignore`.
+void lidog_consensus(const int32_t* labels, const int64_t* inverse,
+                     int64_t n, int32_t n_vox, int32_t ignore,
+                     int32_t* out) {
+  std::vector<int32_t> lo(n_vox, INT32_MAX), hi(n_vox, INT32_MIN);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t v = inverse[i];
+    if (v < 0 || v >= n_vox) continue;
+    const int32_t l = labels[i];
+    if (l < lo[v]) lo[v] = l;
+    if (l > hi[v]) hi[v] = l;
+  }
+  for (int32_t v = 0; v < n_vox; ++v)
+    out[v] = (lo[v] != INT32_MAX && lo[v] == hi[v]) ? lo[v] : ignore;
+}
+
+// BEV label + point-index raster (twin of bev_label_image, which matches
+// reference getBEVImageNew minus its top-row wraparound bug): array-order
+// stores (last write wins), strict in-bound checks, y-axis flipped.
+void lidog_bev_raster(const float* pts, const int32_t* lab, int64_t m,
+                      int32_t img_size, float bound, float zmin, float zmax,
+                      int32_t* out_label, int32_t* out_idx) {
+  const int32_t h = img_size, w = img_size;
+  const float gx = 2.0f * bound / (float)img_size;
+  for (int64_t i = 0; i < (int64_t)h * w; ++i) {
+    out_label[i] = -1;
+    out_idx[i] = -1;
+  }
+  for (int64_t i = 0; i < m; ++i) {
+    if (lab[i] == -1) continue;
+    const float x = pts[i * 3], y = pts[i * 3 + 1], z = pts[i * 3 + 2];
+    if (!(-bound < x && x < bound && -bound < y && y < bound &&
+          zmin < z && z < zmax))
+      continue;
+    const int64_t px = (int64_t)std::floor((x + bound) / gx);
+    const int64_t py = (int64_t)std::floor((float)h - (y + bound) / gx) - 1;
+    if (px < 0 || px >= w || py < 0 || py >= h) continue;
+    out_label[py * w + px] = lab[i];
+    out_idx[py * w + px] = (int32_t)i;
+  }
+}
+
+}  // extern "C"

@@ -76,3 +76,30 @@ def test_consensus_labels():
     labels = np.array([3, 3, 2, 4, -1, -1, -1])
     out = consensus_labels(inverse, labels, 3)
     assert out.tolist() == [3, -1, -1]
+
+
+def test_native_bev_kernels_match_numpy(rng):
+    """C++ consensus + raster (native/voxelizer.cpp) vs the numpy
+    reference semantics, including ignore rows, ties, z-range and the
+    last-write-wins pixel collision rule."""
+    from lidog_tpu.utils import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    n, n_vox = 5000, 700
+    labels = rng.randint(-1, 7, n).astype(np.int32)
+    inverse = rng.randint(0, n_vox, n).astype(np.int64)
+    a = consensus_labels(inverse, labels, n_vox, use_native=False)
+    b = consensus_labels(inverse, labels, n_vox, use_native=True)
+    np.testing.assert_array_equal(a, b)
+
+    pts = (rng.rand(n, 3).astype(np.float32) - 0.5) * np.array(
+        [44.0, 44.0, 40.0], np.float32
+    )
+    img_a, idx_a = bev_label_image(pts, labels, 33, 20.0, use_native=False)
+    img_b, idx_b = bev_label_image(pts, labels, 33, 20.0, use_native=True)
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_array_equal(idx_a, idx_b)
+    assert (img_a >= 0).sum() > 50  # the raster actually hit pixels

@@ -23,6 +23,10 @@ def tiny_synth_env(tmp_path, monkeypatch):
     # for the test tier (the driver's dryrun uses the same recipe).
     monkeypatch.setenv("LIDOG_TPU_GRID_HALF", "128")
     monkeypatch.setenv("LIDOG_TPU_PLAN", "generic")
+    # The shipped configs request 4 devices (pipeline.gpus: [0..3], now
+    # honored — cli/common.py device_count_of); these tests exercise the
+    # full 8-device mesh, so override.
+    monkeypatch.setenv("LIDOG_TPU_DEVICES", "8")
     return tmp_path
 
 
