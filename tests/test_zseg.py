@@ -146,8 +146,13 @@ def test_down_parent_maps(built):
         cc = np.asarray(coarse.coords)
         fv = np.asarray(fine.valid)
         cv = np.asarray(coarse.valid)
-        fpos = {tuple(fc[j]): j for j in range(len(fc)) if fv[j]}
-        cpos = {tuple(cc[j]): j for j in range(len(cc)) if cv[j]}
+        fr = np.asarray(fine.real)
+        cr = np.asarray(coarse.real)
+        # parent/down8 are defined on REAL rows only: ghost rows carry
+        # zero features and every op masks with the real mask
+        # (ops/zconv.py), so their entries are -1 by construction
+        # (parent = pos3[1]; down8 = its transpose scatter).
+        fpos = {tuple(fc[j]): j for j in range(len(fc)) if fr[j]}
         s = 1 << lvl
         down8 = np.asarray(plan.kmaps[f"down8_l{lvl}"])
         k = 0
@@ -165,11 +170,14 @@ def test_down_parent_maps(built):
                         )
                         assert down8[k, j] == fpos.get(q, -1)
                     k += 1
+        cpos = {tuple(cc[j]): j for j in range(len(cc)) if cr[j]}
         parent = np.asarray(plan.kmaps[f"parent_l{lvl}"])
         off = np.asarray(plan.kmaps[f"off_l{lvl}"])
-        s2 = 1 << (lvl + 1)
         for j in range(len(fc)):
             if not fv[j]:
+                continue
+            if not fr[j]:
+                assert parent[j] == -1
                 continue
             p = (
                 fc[j, 0],
