@@ -39,6 +39,9 @@ CAPS = (393_216, 196_608, 98_304, 32_768, 12_288)
 # headroom; the run asserts plan overflow stays 0 so the caps are honest.
 ZCAPS_R = (92_160, 61_440, 22_528, 9_216, 3_584)
 ZCAPS_A = (122_880, 77_824, 25_600, 10_752, 4_352)
+# v6 dilated-column caps: measured y-dilated counts +15% (see
+# core/zseg._dilate_y; the overflow assert keeps these honest)
+ZCAPS_D = (196_608, 93_184, 54_272, 23_552, 9_728)
 STEPS = 10
 
 
@@ -78,7 +81,8 @@ def main():
         from lidog_tpu.core.zseg import ZSegPlanBuilder
 
         builder = jax.jit(ZSegPlanBuilder(
-            ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024
+            ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024,
+            caps_col_dil=ZCAPS_D,
         ))
     else:
         builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)

@@ -24,6 +24,10 @@ LEVEL_SHRINK = (1.0, 0.55, 0.3, 0.12, 0.05)  # empirical LiDAR compression
 # aug factor covers the measured ghost rates (+45%/+32%/<=10%) + headroom.
 ZSEG_SHRINK = (1.0, 0.72, 0.30, 0.13, 0.055)
 ZSEG_AUG = (1.55, 1.45, 1.25, 1.25, 1.3)
+# y-dilated column slots per REAL voxel (v6 column tables, _dilate_y):
+# measured ring-scan ratios 2.14/1.45/2.24/2.37/2.49 + ~25% headroom,
+# clamped by the builder's safe (2r+1)x default
+ZSEG_COL_DIL = (2.7, 1.85, 2.8, 3.0, 3.0)
 # Measured HBM budget: the LiDOG (BEV) model at batch 4 on a 16 GB v5e
 # fits only up to ~98304 voxels/scan (round-2 measurement).
 BEV_HBM_SAFE_PER_SCAN = 98304
@@ -42,10 +46,15 @@ def make_caps(batch_size: int, per_scan: int = DEFAULT_CAPS_PER_SCAN):
 
 
 def make_zcaps(per_scan: int = DEFAULT_CAPS_PER_SCAN):
-    """(caps_real, caps_aug) PER-SCAN capacities for the zseg engine."""
+    """(caps_real, caps_aug, caps_col_dil) PER-SCAN capacities for the
+    zseg engine."""
     caps_r = tuple(_rup(per_scan * f) for f in ZSEG_SHRINK)
     caps_a = tuple(_rup(per_scan * f * a) for f, a in zip(ZSEG_SHRINK, ZSEG_AUG))
-    return caps_r, caps_a
+    caps_d = tuple(
+        min(_rup(per_scan * f * d), 5 * r)
+        for f, d, r in zip(ZSEG_SHRINK, ZSEG_COL_DIL, caps_r)
+    )
+    return caps_r, caps_a, caps_d
 
 
 def make_plan_builder(config, batch_size: int,
@@ -76,10 +85,12 @@ def make_plan_builder(config, batch_size: int,
     if engine == "zseg":
         from lidog_tpu.core.zseg import ZSegPlanBuilder
 
-        caps_r, caps_a = make_zcaps(per_scan)
-        print(f"[caps] engine=zseg per-scan real={caps_r} aug={caps_a}")
+        caps_r, caps_a, caps_d = make_zcaps(per_scan)
+        print(f"[caps] engine=zseg per-scan real={caps_r} aug={caps_a} "
+              f"col_dil={caps_d}")
         builder = ZSegPlanBuilder(
-            caps_r, caps_a, num_batches=batch_size, grid_half=gh
+            caps_r, caps_a, num_batches=batch_size, grid_half=gh,
+            caps_col_dil=caps_d,
         )
     else:
         from lidog_tpu.core.plan_bitgrid import BitPlanBuilder

@@ -23,11 +23,13 @@ Fifth-generation kernel-map engine, built from two measured v5e facts
 The plan carries, per level, the augmented coordinate set in segmented
 canonical order with `real` (the op/loss mask) and `valid` (real|ghost)
 flags, z-adjacency masks for the shift taps, and the kernel maps:
-conv9 (k=3), down8 + parent/offset (k=2 s=2 pair).  The stem's 25-column
-occupancy sweep is FUSED with the level-0 conv9 lookup on the augmented
-table (stem_conv9_seg): one id pass serves both, the REAL bit-plane rides
-a side table, and stem_occ lands directly in the aug layout (no real
-table, no real->aug scatter).
+conv9 (k=3), down8 + parent/offset (k=2 s=2 pair).  The stem's 5x5
+occupancy sweep is FUSED with the level-0 conv9 lookup
+(stem_conv9_packed): (2r+1) fetches of the packed y-neighborhood row
+answer all 125 occupancy bits and the 9 conv ranks.  The v6 build (see
+the column-table section below) keeps NO dense 3D volume: per-column
+word rows are scatter-built from coords, coarsened table-to-table, and
+ghost-augmented via 2 x-neighbor fetches + validated slot shifts.
 
 Replaces (same role as core.plan / plan_staged / plan_bitgrid): the
 MinkowskiEngine coordinate manager + kernel-map generation for
@@ -123,407 +125,439 @@ def _grid_lookup(grid_flat, b, gx, gy, ok, g: int, num_batches: int):
     return jnp.where(ok, v, -1)
 
 
-def _chunked_compact_rows(compact, cids, num_batches: int, col_cap: int):
-    """compact [B*col_cap, R]; cids [n_xy, B, cap_q] SEGMENTED global ids
-    (-1 miss) whose batch matches their position -> rows [n_xy, B, cap_q, R].
 
-    Chunking the gather per batch keeps the operand at col_cap rows —
-    under the fast-tier cliff (measured 3.5 vs 6.7 ns/row at bench scale,
-    micro_widegrid.py)."""
-    n_xy, nb, cap_q = cids.shape
-    r = compact.shape[1]
-    comp_seg = compact.reshape(nb, col_cap, r)
-    base = (jnp.arange(nb, dtype=jnp.int32) * col_cap)[None, :, None]
-    loc = cids - base  # [n_xy, nb, cap_q]; misses go negative
-    loc_b = loc.transpose(1, 0, 2).reshape(nb, n_xy * cap_q)
-
-    def per_b(args):
-        cb, ib = args
-        hit = (ib >= 0) & (ib < col_cap)
-        return cb[jnp.clip(ib, 0, col_cap - 1)] * hit[:, None].astype(cb.dtype)
-
-    rows = jax.lax.map(per_b, (comp_seg, loc_b))  # [nb, n_xy*cap_q, r]
-    return rows.reshape(nb, n_xy, cap_q, r).transpose(1, 0, 2, 3)
-
-
-@partial(jax.jit, static_argnames=("grid_half", "level", "col_cap", "seg_cap"))
-def compact_table_seg(bits, coords, valid, grid_half: int, level: int,
-                      col_cap: int, seg_cap: int, extra_bits=None):
-    """Two-level column table, fully SEGMENTED: both the stored column ids
-    and starts of batch b live in [b*cap, (b+1)*cap) — cids in
-    [b*col_seg_cap, ...), starts in [b*seg_cap, ...) — so compact-row and
-    feature gathers chunk per batch (operand under the row-count cliff)
-    and looked-up positions land directly in the segmented row layout.
-    col_cap must be num_batches * seg-col-cap; columns never outnumber
-    voxels, so seg-col-cap = seg_cap is always safe.
-
-    Returns (col_grid [B*g*g] int32 flat, -1 = empty; compact
-    [col_cap, ZWORDS+2])."""
-    u = bits.astype(jnp.uint32)
-    popc = jnp.sum(jax.lax.population_count(u), axis=-1).astype(jnp.int32)
-    b, g, _ = popc.shape[:3]
-    col_seg_cap = col_cap // b
-    start_in_b = _cumsum_excl_axis1(popc.reshape(b, g * g))
-    start = start_in_b + (
-        jnp.arange(b, dtype=jnp.int32)[:, None] * seg_cap
-    )
-    has = popc.reshape(b, g * g) > 0
-    cid_in_b = _cumsum_excl_axis1(has.astype(jnp.int32))
-    cid = cid_in_b + jnp.arange(b, dtype=jnp.int32)[:, None] * col_seg_cap
-    col_grid = jnp.where(
-        has & (cid_in_b < col_seg_cap), cid, -1
-    ).astype(jnp.int32).reshape(-1)
-    start_grid = start.astype(jnp.int32).reshape(-1)
-
-    vb, gx, gy, _, ok = _cell_of(coords, grid_half, level)
-    ok = ok & valid
-    vbs = jnp.where(ok, vb, 0)
-    gxc = jnp.clip(gx, 0, g - 1)
-    gyc = jnp.clip(gy, 0, g - 1)
-    vox_cid = _grid_lookup(col_grid, vbs, gxc, gyc, ok, g, b)
-    vox_start = _grid_lookup(start_grid, vbs, gxc, gyc, ok, g, b)[:, None]
-    ub = u.reshape(b * g * g, ZWORDS)
-    flat = jnp.where(ok, (vbs * g + gxc) * g + gyc, 0)
-    row = jnp.concatenate(
-        [ub[flat].astype(jnp.int32), vox_start, vox_start], axis=1
-    )
-    slot = jnp.where((vox_cid >= 0) & (vox_cid < col_cap), vox_cid, col_cap)
-    compact = (
-        jnp.zeros((col_cap + 1, ZWORDS + 2), jnp.int32)
-        .at[slot]
-        .set(row, mode="drop")[:col_cap]
-    )
-    if extra_bits is None:
-        return col_grid, compact
-    # Side table of a second bit-plane (e.g. REAL occupancy while the main
-    # table indexes the AUGMENTED plane) at the same column slots — lets
-    # the fused stem+conv9 sweep read both with one id pass.
-    eb = extra_bits.astype(jnp.uint32).reshape(b * g * g, ZWORDS)
-    erow = jnp.concatenate(
-        [eb[flat].astype(jnp.int32),
-         jnp.zeros((coords.shape[0], 2), jnp.int32)], axis=1
-    )
-    extra = (
-        jnp.zeros((col_cap + 1, ZWORDS + 2), jnp.int32)
-        .at[slot]
-        .set(erow, mode="drop")[:col_cap]
-    )
-    return col_grid, compact, extra
+# ---------------------------------------------------------------------------
+# v6 column-table build: no dense 3D volume anywhere.
+#
+# Per level the plan keeps, per occupied COLUMN (b, gx, gy):
+#   real16  [B*ccap, 16] i32 — 14 real-plane z words (+2 spare)
+#   aug16   [B*ccap, 16] i32 — 14 aug words + GLOBAL start + count
+#   packed  [B*ccap, W]  i32 — the y-neighborhood: (2r+1) real word slabs
+#           (dy=-r..r) + 3 aug (words+LOCAL start) slabs (dy=-1..1), so one
+#           fetch answers every dy (and, via bit math, every dz) of a sweep
+#   cid_grid [B*g*g] i32 — dense cell -> column id (-1 empty), read via
+#           wide-row gather + fused one-hot select (_grid_lookup)
+#
+# Everything (incl. real16/aug16) lives on the y-DILATED column set
+# (_dilate_y): empty-column slots carry zero word rows, which every
+# consumer treats as a miss, and the dilation makes y-neighbors provably
+# CONSECUTIVE slots — so the packed table builds by pure validated
+# shifts and ghost assembly needs only 2 x-neighbor fetches.
+#
+# Build: scatter-add voxel bits by (cid, word) at L0 (unique, add == OR);
+# coarser real words come from the FINE table (4 child fetches + pairwise
+# z-OR with ZC recentering — the per-column z part of the old 3D
+# coarsen_bits).  This replaced dense [B,G,G,14] volumes whose builds and
+# row gathers were ~60% of the round-3 plan profile (driving micros:
+# benchmarks/micro/micro_colseg.py, micro_zpacked.py; plan 501 -> 231 ms
+# at bench scale).
+# ---------------------------------------------------------------------------
 
 
-def _ranks_for_offsets(grid_b, comp_b, gx0, gy0, bz0, valid_b,
-                       xy_offsets, z_offsets, g: int, w: int, seg_cap: int):
-    """Single-batch kernel-map lookup: id wide-row lookup + compact fetch
-    + rank extraction, all consumed in place (keeps XLA from
-    materializing giant fetched-row stacks — the profiled plan killer).
-
-    grid_b [g*g/w, w] int32 (one batch's id grid, BATCH-LOCAL cids);
-    comp_b [col_cap_b, ZWORDS+2]; queries gx0/gy0/bz0/valid_b [nq].
-    Returns LOCAL positions [n_xy*n_z, nq] (-1 miss)."""
-    col_cap_b = comp_b.shape[0]
-    shift = int(np.log2(w))
-    outs = []
-    for dx, dy in xy_offsets:
-        gx = gx0 + dx
-        gy = gy0 + dy
-        okc = valid_b & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-        flat = jnp.where(okc, gx * g + gy, 0)
-        rows = grid_b[flat >> shift]  # [nq, w]
-        el = (flat & (w - 1))[:, None]
-        sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == el
-        cid = jnp.sum(jnp.where(sel, rows, 0), axis=-1)
-        hit = okc & (cid >= 0) & (cid < col_cap_b)
-        crow = comp_b[jnp.clip(cid, 0, col_cap_b - 1)]  # [nq, ZWORDS+2]
-        bits_u = crow[:, :ZWORDS].astype(jnp.uint32)
-        startv = crow[:, ZWORDS]
-        for dz in z_offsets:
-            bz = bz0 + dz
-            okz = hit & (bz >= 0) & (bz < ZWORDS * 32)
-            rank, exists = _rank_from_row(
-                bits_u, jnp.clip(bz, 0, ZWORDS * 32 - 1)
-            )
-            idx = startv + rank
-            ok = okz & exists & (idx < seg_cap)
-            outs.append(jnp.where(ok, idx, -1).astype(jnp.int32))
-    return jnp.stack(outs, axis=0)
-
-
-@partial(jax.jit, static_argnames=("xy_offsets", "z_offsets", "grid_half",
-                                   "level", "seg_cap", "chunk_batches"))
-def lookup_map_seg(col_id, compact, coords, valid, xy_offsets: tuple,
-                   z_offsets: tuple, grid_half: int, level: int,
-                   seg_cap: int, chunk_batches: int = 0):
-    """bitgrid.lookup_map2 against the SEGMENTED table (compact_table_seg):
-    positions are b*seg_cap + within-segment rank; ranks beyond seg_cap
-    (per-segment overflow) resolve to -1.
-
-    chunk_batches > 0 declares the query rows themselves SEGMENTED (row
-    j belongs to batch j // (n // chunk_batches)) and runs the whole
-    lookup segments-outer (per-batch grid slice ~32k wide rows, compact
-    slice under the cliff, rank math fused in the loop body — no
-    transposed row stacks); pass 0 for arbitrary-order queries (e.g. raw
-    input coords), which fall back to one global pass."""
-    g = (2 * grid_half) >> level
-    n = coords.shape[0]
-    nb = chunk_batches
-    b = coords[:, 0]
-    gx0 = (coords[:, 1] >> level) + (grid_half >> level)
-    gy0 = (coords[:, 2] >> level) + (grid_half >> level)
-    bz0 = (coords[:, 3] >> level) + ZC
-    n_xy = len(xy_offsets)
-    n_out = n_xy * len(z_offsets)
-    col_cap = compact.shape[0]
-
-    if nb > 0:
-        w = min(GRID_ROW_W, g)
-        cap_q = n // nb
-        grid_s = col_id.reshape(nb, (g * g) // w, w)
-        # batch-local cids in the per-batch grid slice
-        base = (jnp.arange(nb, dtype=jnp.int32) * (col_cap // nb))
-        grid_s = jnp.where(grid_s >= 0, grid_s - base[:, None, None], -1)
-        comp_s = compact.reshape(nb, col_cap // nb, ZWORDS + 2)
-        # starts are globally segmented; make them local for the seg test
-        start_local = (
-            comp_s.at[..., ZWORDS].add(
-                -(jnp.arange(nb, dtype=jnp.int32) * seg_cap)[:, None]
-            )
-        )
-
-        def per_b(args):
-            gb, cb, gx_b, gy_b, bz_b, ok_b = args
-            return _ranks_for_offsets(
-                gb, cb, gx_b, gy_b, bz_b, ok_b, xy_offsets, z_offsets,
-                g, w, seg_cap,
-            )
-
-        loc = jax.lax.map(per_b, (
-            grid_s, start_local,
-            gx0.reshape(nb, cap_q), gy0.reshape(nb, cap_q),
-            bz0.reshape(nb, cap_q), valid.reshape(nb, cap_q),
-        ))  # [nb, n_out, cap_q]
-        seg_off = (jnp.arange(nb, dtype=jnp.int32) * seg_cap)[:, None, None]
-        out = jnp.where(loc >= 0, loc + seg_off, -1)
-        return out.transpose(1, 0, 2).reshape(n_out, n)
-
-    seg_base = b * seg_cap
-    dxs = jnp.asarray(np.array([d[0] for d in xy_offsets], np.int32))
-    dys = jnp.asarray(np.array([d[1] for d in xy_offsets], np.int32))
-    gx = gx0[None, :] + dxs[:, None]
-    gy = gy0[None, :] + dys[:, None]
-    okc = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-    cids = _grid_lookup(
-        col_id,
-        jnp.broadcast_to(b[None, :], gx.shape).reshape(-1),
-        jnp.clip(gx, 0, g - 1).reshape(-1),
-        jnp.clip(gy, 0, g - 1).reshape(-1),
-        okc.reshape(-1), g, nb,
-    )
-    hit_col = cids >= 0
-    rows = compact[jnp.where(hit_col, cids, 0)]
-    bits_u = rows[:, :ZWORDS].astype(jnp.uint32).reshape(n_xy, n, ZWORDS)
-    startv = rows[:, ZWORDS].reshape(n_xy, n)
-    hit_col = hit_col.reshape(n_xy, n)
-    outs = []
-    for ci in range(n_xy):
-        for dz in z_offsets:
-            bz = bz0 + dz
-            okz = hit_col[ci] & (bz >= 0) & (bz < ZWORDS * 32)
-            rank, exists = _rank_from_row(
-                bits_u[ci], jnp.clip(bz, 0, ZWORDS * 32 - 1)
-            )
-            idx = startv[ci] + rank
-            ok = okz & exists & ((idx - seg_base) < seg_cap)
-            outs.append(jnp.where(ok, idx, -1).astype(jnp.int32))
-    return jnp.stack(outs, axis=0)
-
-
-@partial(jax.jit, static_argnames=("r", "grid_half", "seg_cap",
-                                   "chunk_batches"))
-def stem_occ_seg(col_id, compact, coords, valid, r: int, grid_half: int,
-                 seg_cap: int, chunk_batches: int = 0):
-    """(2r+1)^3 occupancy per row from (2r+1)^2 column fetches against the
-    REAL level-0 table (bitgrid.stem_and_conv3_2 minus the conv3 part),
-    emitted bf16 to halve the [N, 125] write traffic.  chunk_batches: as
-    in lookup_map_seg (the stem queries ARE segmented)."""
-    rng = range(-r, r + 1)
-    g = 2 * grid_half
-    n = coords.shape[0]
-    nb = chunk_batches
-    col_cap = compact.shape[0]
-    b = coords[:, 0]
-    bz0 = coords[:, 3] + ZC
-    xy = [(dx, dy) for dx in rng for dy in rng]
-    dxs = jnp.asarray(np.array([d[0] for d in xy], np.int32))
-    dys = jnp.asarray(np.array([d[1] for d in xy], np.int32))
-    gx = (coords[:, 1] + grid_half)[None, :] + dxs[:, None]
-    gy = (coords[:, 2] + grid_half)[None, :] + dys[:, None]
-    okc_all = valid[None, :] & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-    cids = _grid_lookup(
-        col_id,
-        jnp.broadcast_to(b[None, :], gx.shape).reshape(-1),
-        jnp.clip(gx, 0, g - 1).reshape(-1),
-        jnp.clip(gy, 0, g - 1).reshape(-1),
-        okc_all.reshape(-1), g, nb,
-    )
-    hit_col_all = cids >= 0
-    if nb > 0:
-        full_rows = _chunked_compact_rows(
-            compact, cids.reshape(len(xy), nb, n // nb), nb, col_cap // nb
-        ).reshape(len(xy), n, ZWORDS + 2)
-    else:
-        full_rows = compact[jnp.where(hit_col_all, cids, 0)].reshape(
-            len(xy), n, ZWORDS + 2
-        )
-    hit_col_all = hit_col_all.reshape(len(xy), n)
-    occ_cols = []
-    for ci in range(len(xy)):
-        rowb = full_rows[ci, :, :ZWORDS].astype(jnp.uint32)
-        widx = jax.lax.broadcasted_iota(jnp.int32, rowb.shape, 1)
-        for dz in rng:
-            bz = bz0 + dz
-            okz = hit_col_all[ci] & (bz >= 0) & (bz < ZWORDS * 32)
-            bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
-            w = jnp.sum(
-                jnp.where(widx == (bzc >> 5)[:, None], rowb, jnp.uint32(0)),
-                axis=-1, dtype=jnp.uint32,
-            )
-            bit = (w >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
-            occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
-    return jnp.stack(occ_cols, axis=1).astype(jnp.bfloat16)
-
-
-@partial(jax.jit, static_argnames=("r", "grid_half", "seg_cap",
-                                   "chunk_batches"))
-def stem_conv9_seg(col_id, compact, real_rows, coords, valid, r: int,
-                   grid_half: int, seg_cap: int, chunk_batches: int):
-    """ONE (2r+1)^2-column sweep over the AUGMENTED level-0 table serving
-    BOTH the stem occupancy ((2r+1)^3 REAL-plane bits per row, from the
-    `real_rows` side table) and the conv9 kernel map (aug-plane ranks for
-    the inner 3x3, dz=0).  Replaces the separate REAL-layout table +
-    stem_occ_seg pass + real->aug scatter: one id pass instead of two,
-    ~1/3 fewer plan gathers at level 0.
-
-    Returns (occ [N, (2r+1)^3] bf16 in (dx, dy, dz) lexicographic order —
-    dz fastest, the stem weight layout — and conv9 [9, N] int32)."""
-    rng_ = range(-r, r + 1)
-    g = 2 * grid_half
-    n = coords.shape[0]
-    nb = chunk_batches
-    col_cap = compact.shape[0]
-    col_cap_b = col_cap // nb
-    cap_q = n // nb
-    w = min(GRID_ROW_W, g)
-    shift = int(np.log2(w))
-    xy = [(dx, dy) for dx in rng_ for dy in rng_]
-    inner = {ci for ci, (dx, dy) in enumerate(xy)
-             if abs(dx) <= 1 and abs(dy) <= 1}
-
-    grid_s = col_id.reshape(nb, (g * g) // w, w)
-    base = jnp.arange(nb, dtype=jnp.int32) * col_cap_b
-    grid_s = jnp.where(grid_s >= 0, grid_s - base[:, None, None], -1)
-    comp_s = compact.reshape(nb, col_cap_b, ZWORDS + 2)
-    comp_s = comp_s.at[..., ZWORDS].add(
-        -(jnp.arange(nb, dtype=jnp.int32) * seg_cap)[:, None]
-    )
-    real_s = real_rows.reshape(nb, col_cap_b, ZWORDS + 2)
-
-    gx0 = coords[:, 1] + grid_half
-    gy0 = coords[:, 2] + grid_half
-    bz0 = coords[:, 3] + ZC
-
-    def per_b(args):
-        gb, cb, rb, gx_b, gy_b, bz_b, ok_b = args
-        occ_cols = []
-        conv9 = []
-        bzc0 = jnp.clip(bz_b, 0, ZWORDS * 32 - 1)
-        for ci, (dx, dy) in enumerate(xy):
-            gx = gx_b + dx
-            gy = gy_b + dy
-            okc = ok_b & (gx >= 0) & (gx < g) & (gy >= 0) & (gy < g)
-            flat = jnp.where(okc, gx * g + gy, 0)
-            rows = gb[flat >> shift]
-            el = (flat & (w - 1))[:, None]
-            sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == el
-            cid = jnp.sum(jnp.where(sel, rows, 0), axis=-1)
-            hit = okc & (cid >= 0) & (cid < col_cap_b)
-            cidc = jnp.clip(cid, 0, col_cap_b - 1)
-            rrow = rb[cidc][:, :ZWORDS].astype(jnp.uint32)
-            widx = jax.lax.broadcasted_iota(jnp.int32, rrow.shape, 1)
-            for dz in rng_:
-                bz = bz_b + dz
-                okz = hit & (bz >= 0) & (bz < ZWORDS * 32)
-                bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
-                wrd = jnp.sum(
-                    jnp.where(widx == (bzc >> 5)[:, None], rrow,
-                              jnp.uint32(0)),
-                    axis=-1, dtype=jnp.uint32,
-                )
-                bit = (wrd >> (bzc & 31).astype(jnp.uint32)) & jnp.uint32(1)
-                occ_cols.append(jnp.where(okz, bit, jnp.uint32(0)))
-            if ci in inner:
-                arow = cb[cidc]
-                bits_u = arow[:, :ZWORDS].astype(jnp.uint32)
-                startv = arow[:, ZWORDS]
-                okz0 = hit & (bz_b >= 0) & (bz_b < ZWORDS * 32)
-                rank, exists = _rank_from_row(bits_u, bzc0)
-                idx = startv + rank
-                ok = okz0 & exists & (idx < seg_cap)
-                conv9.append(jnp.where(ok, idx, -1).astype(jnp.int32))
-        occ = jnp.stack(occ_cols, axis=1).astype(jnp.bfloat16)
-        return occ, jnp.stack(conv9, axis=0)
-
-    occ_s, conv9_s = jax.lax.map(per_b, (
-        grid_s, comp_s, real_s,
-        gx0.reshape(nb, cap_q), gy0.reshape(nb, cap_q),
-        bz0.reshape(nb, cap_q), valid.reshape(nb, cap_q),
-    ))  # [nb, cap_q, 125], [nb, 9, cap_q]
-    occ = occ_s.reshape(n, len(xy) * len(list(rng_)))
-    seg_off = (jnp.arange(nb, dtype=jnp.int32) * seg_cap)[:, None, None]
-    conv9 = jnp.where(conv9_s >= 0, conv9_s + seg_off, -1)
-    return occ, conv9.transpose(1, 0, 2).reshape(9, n)
-
-
-@jax.jit
-def ghost_bits(bits):
-    """Ghost locations: free, z+-1 occupied, and some real voxel at the
-    same z within xy-Chebyshev distance 1 (the exact nonzero-gather-target
-    condition for the 9 xy offsets — see module docstring)."""
-    u = bits.astype(jnp.uint32)
-    # z-dilation with inter-word carries (z is bit-packed along the last
-    # axis, word k bits [32k, 32k+32), LSB first)
+def _zdil_words(u):
+    """z+-1 dilation of z-bit word rows on the LAST axis (LSB first)."""
     up = (u << 1) | jnp.concatenate(
         [jnp.zeros_like(u[..., :1]), u[..., :-1] >> 31], axis=-1
     )
     dn = (u >> 1) | jnp.concatenate(
         [u[..., 1:] << 31, jnp.zeros_like(u[..., :1])], axis=-1
     )
-    zdil = up | dn
-
-    # separable 3x3 xy box dilation (OR): x pass then y pass
-    def shift(a, axis, d):
-        z = jnp.zeros_like(jax.lax.slice_in_dim(a, 0, abs(d), axis=axis))
-        if d > 0:
-            return jnp.concatenate(
-                [z, jax.lax.slice_in_dim(a, 0, a.shape[axis] - d, axis=axis)],
-                axis=axis,
-            )
-        return jnp.concatenate(
-            [jax.lax.slice_in_dim(a, -d, a.shape[axis], axis=axis), z],
-            axis=axis,
-        )
-
-    xd = u | shift(u, 1, 1) | shift(u, 1, -1)
-    xyd = xd | shift(xd, 2, 1) | shift(xd, 2, -1)
-    return (zdil & ~u & xyd).astype(jnp.int32)
+    return up | dn
 
 
-@jax.jit
-def _per_batch_counts(bits):
-    """Set-bit count per batch element: [B]."""
-    u = bits.astype(jnp.uint32)
-    return jnp.sum(
-        jax.lax.population_count(u).astype(jnp.int32), axis=(1, 2, 3)
+def _zpair_words(u):
+    """Coarsen z-bit word rows one level: pairwise bit OR + ZC recentering
+    (the per-column z half of the old bitgrid.coarsen_bits)."""
+    t = u | (u >> 1)
+    comp = bitgrid._compress_even_bits(t)
+    half = ZWORDS // 2
+    i1 = np.arange(ZWORDS) * 2 - half
+    valid1 = (i1 >= 0) & (i1 < ZWORDS)
+    valid2 = (i1 + 1 >= 0) & (i1 + 1 < ZWORDS)
+    lo = jnp.where(
+        jnp.asarray(valid1),
+        jnp.take(comp, jnp.asarray(np.clip(i1, 0, ZWORDS - 1)), axis=-1),
+        jnp.uint32(0),
     )
+    hi = jnp.where(
+        jnp.asarray(valid2),
+        jnp.take(comp, jnp.asarray(np.clip(i1 + 1, 0, ZWORDS - 1)), axis=-1),
+        jnp.uint32(0),
+    )
+    return lo | (hi << 16)
+
+
+def _rows_or_miss(table, idx):
+    """table [cap, R]; idx [n] (-1/out-of-range = miss -> zero row)."""
+    cap = table.shape[0]
+    hit = (idx >= 0) & (idx < cap)
+    return table[jnp.clip(idx, 0, cap - 1)] * hit[:, None].astype(table.dtype)
+
+
+def _pack_bxy(b, gx, gy):
+    return (b << 24) | (gx << 12) | gy
+
+
+def _unpack_bxy(p):
+    return p >> 24, (p >> 12) & 4095, p & 4095
+
+
+def _column_grid(key, ok, num_batches: int, g: int, ccap: int):
+    """Dense has/cid grids from (possibly duplicated) cell keys.
+
+    key [n] = (b*g + gx)*g + gy; ok [n].  Returns (cid_grid [B*g*g] i32
+    with GLOBAL segmented cids b*ccap + rank or -1, ncols [B], column
+    overflow scalar, has2 [B, g*g] i32)."""
+    nb = num_batches
+    cells = nb * g * g
+    slot = jnp.where(ok, key, cells)
+    has = (
+        jnp.zeros((cells + 1,), jnp.int8).at[slot].set(1, mode="drop")[:cells]
+    )
+    has2 = has.reshape(nb, g * g).astype(jnp.int32)
+    cid_grid, ncols, col_over = _grid_from_has(has2, nb, g, ccap)
+    return cid_grid, ncols, col_over, has2
+
+
+def _grid_from_has(has2, num_batches: int, g: int, ccap: int):
+    """has2 [B, g*g] i32 -> (cid_grid, ncols [B], overflow scalar)."""
+    cloc = _cumsum_excl_axis1(has2)
+    ncols = cloc[:, -1] + has2[:, -1]
+    base = (jnp.arange(num_batches, dtype=jnp.int32) * ccap)[:, None]
+    cid_grid = jnp.where(
+        (has2 > 0) & (cloc < ccap), cloc + base, -1
+    ).astype(jnp.int32).reshape(-1)
+    col_over = jnp.sum(jnp.maximum(ncols - ccap, 0))
+    return cid_grid, ncols, col_over
+
+
+def _dilate_y(has2, g: int, r: int):
+    """OR the has-grid over gy-r..gy+r (gy is the minor axis).
+
+    The packed y-neighborhood table must be fetchable at any CELL whose
+    y-neighborhood is nonempty — a sweep's center column (gx+dx, gy) can
+    be empty while its y+-1 neighbors hold rows, so keying packed rows on
+    occupied columns alone would miss them."""
+    h = has2.reshape(has2.shape[0], g, g)
+    out = h
+    for d in range(1, r + 1):
+        z = jnp.zeros_like(h[:, :, :d])
+        out = out | jnp.concatenate([h[:, :, d:], z], axis=2)
+        out = out | jnp.concatenate([z, h[:, :, :-d]], axis=2)
+    return jnp.minimum(out, 1).reshape(has2.shape[0], g * g)
+
+
+def _y_adjacency(col_bxy, col_valid):
+    """adj[s]: slot s+1 is (same b, gx, gy+1) — the packed-bxy +1 trick
+    (gy never carries into the gx bits: gy+1 <= g <= 2048 < 4096)."""
+    nxt = (col_bxy[1:] == col_bxy[:-1] + 1) & col_valid[1:] & col_valid[:-1]
+    return jnp.concatenate([nxt, jnp.zeros((1,), bool)])
+
+
+def _shift_up(x, adj):
+    """Row of slot s+1 (the gy+1 cell), masked by adjacency."""
+    nx = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+    return nx * adj[:, None].astype(x.dtype)
+
+
+def _shift_dn(x, adj):
+    adn = jnp.concatenate([jnp.zeros((1,), bool), adj[:-1]])
+    pv = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+    return pv * adn[:, None].astype(x.dtype)
+
+
+def _assemble_aug(real16, col_bxy, col_valid, grid_d,
+                  num_batches: int, g: int, ccap: int, cap_a: int):
+    """Ghost/aug words per DILATED slot: 2 x-neighbor fetches + y shifts.
+
+    ghost = zdil(own) & ~own & OR(9-neighborhood real) — identical to the
+    old dense ghost_bits condition (ghosts only appear in z-gaps of
+    occupied columns: zdil(empty) = 0).  The 3x3 OR factorizes: yor3 =
+    OR of (gy-1..gy+1) via validated slot shifts (an occupied y-neighbor
+    is always an adjacent slot — see _build_packed), then OR the yor3
+    rows of (gx+-1, gy).  (gx+-1, gy) is dilated whenever ANY
+    (gx+-1, gy+-1) is occupied (dilation radius >= 1), so the two
+    fetches cover all six x-side neighbors exactly.
+    Returns (aug16 [B*ccap, 16] i32 = words + GLOBAL start + count,
+    counts_b [B] aug rows per batch)."""
+    nb = num_batches
+    b, gx, gy = _unpack_bxy(col_bxy)
+    own = real16[:, :ZWORDS].astype(jnp.uint32)
+    adj = _y_adjacency(col_bxy, col_valid)
+    yor3 = own | _shift_up(own, adj) | _shift_dn(own, adj)
+    nb_or = yor3
+    for dx in (-1, 1):
+        gxn = gx + dx
+        okn = col_valid & (gxn >= 0) & (gxn < g)
+        cidn = _grid_lookup(grid_d, b, jnp.clip(gxn, 0, g - 1), gy, okn,
+                            g, nb)
+        nb_or = nb_or | _rows_or_miss(yor3.astype(jnp.int32),
+                                      cidn).astype(jnp.uint32)
+    aug = own | (_zdil_words(own) & ~own & nb_or)
+    aug = aug * col_valid[:, None].astype(jnp.uint32)
+    popc = jnp.sum(jax.lax.population_count(aug), axis=-1).astype(jnp.int32)
+    popc2 = popc.reshape(nb, ccap)
+    counts_b = jnp.sum(popc2, axis=1)
+    start = (
+        _cumsum_excl_axis1(popc2)
+        + (jnp.arange(nb, dtype=jnp.int32) * cap_a)[:, None]
+    ).reshape(-1)
+    aug16 = jnp.concatenate(
+        [aug.astype(jnp.int32), start[:, None], popc[:, None]], axis=1
+    )
+    return aug16, counts_b
+
+
+def _build_packed(real16, aug16, col_bxy, col_valid, num_batches: int,
+                  ccap: int, cap_a: int, r: int):
+    """The per-DILATED-slot y-neighborhood table — built by PURE SHIFTS.
+
+    Row layout ((2r+1)*14 real slabs only when r >= 0):
+      [ real words of (gy-r..gy+r) | (aug words + LOCAL start) of
+        (gy-1..gy+1) ]  padded to a multiple of 8 ints.
+    LOCAL start = global start - b*cap_a, so sweep bodies running inside
+    the per-batch lax.map need no further adjustment.
+
+    Zero gathers: real16/aug16 already live on the dilated slot set, and
+    if the occupied neighbor column (gx, gy+dy) exists with |dy| <= r
+    then every cell between gy and gy+dy is within r of it — hence
+    dilated — so the neighbor's row sits exactly dy CONSECUTIVE slots
+    away (validated by the packed-bxy adjacency flags)."""
+    nb = num_batches
+    b = jnp.arange(nb * ccap, dtype=jnp.int32) // ccap
+    m_real = real16[:, :ZWORDS]
+    m_aug = aug16[:, :ZWORDS + 1]
+    # localize the start: subtract this slot's b*cap_a
+    m_aug = m_aug.at[:, ZWORDS].add(jnp.where(col_valid, -b * cap_a, 0))
+    adj = _y_adjacency(col_bxy, col_valid)
+
+    def at_dy(x, dy):
+        out = x
+        for _ in range(abs(dy)):
+            out = _shift_up(out, adj) if dy > 0 else _shift_dn(out, adj)
+        return out
+
+    slabs = []
+    for dy in range(-r, r + 1):
+        slabs.append(at_dy(m_real, dy))
+    for dy in (-1, 0, 1):
+        slabs.append(at_dy(m_aug, dy))
+    packed = jnp.concatenate(slabs, axis=1)
+    w = packed.shape[1]
+    pad = (-w) % 8
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+    return packed
+
+
+def _bit_at(words_u, bz):
+    """Bit bz of a [..., ZWORDS] mask as int32 (one masked reduce)."""
+    word = (bz >> 5)[..., None]
+    widx = jax.lax.broadcasted_iota(jnp.int32, words_u.shape,
+                                    words_u.ndim - 1)
+    w = jnp.sum(jnp.where(widx == word, words_u, jnp.uint32(0)), axis=-1,
+                dtype=jnp.uint32)
+    return ((w >> (bz & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(
+        jnp.int32)
+
+
+def _rank_in_slab(words_u, startv, bz, ok):
+    """Aug-slab rank: position = start + rank of bit bz, -1 on miss."""
+    okz = ok & (bz >= 0) & (bz < ZWORDS * 32)
+    rank, exists = _rank_from_row(words_u, jnp.clip(bz, 0, ZWORDS * 32 - 1))
+    idx = startv + rank
+    return jnp.where(okz & exists, idx, -1)
+
+
+@partial(jax.jit, static_argnames=("g", "ccap", "cap_a", "r", "nb"))
+def stem_conv9_packed(cid_grid, packed, coords, valid, g: int, ccap: int,
+                      cap_a: int, r: int, nb: int, grid_half: int = 0,
+                      level: int = 0):
+    """Fused stem occupancy + conv9 sweep over the packed table.
+
+    (2r+1) fetches per aug row (one per dx) replace the old 25-column
+    id+row+side-table sweep: occ bits for all (dy, dz) and the inner-3x3
+    conv ranks come out of the fetched row (micro_zpacked.py: 31 vs
+    108 ms at L0 bench scale).  Returns (occ [N, (2r+1)^3] bf16 in
+    (dx, dy, dz) order dz fastest, conv9 [9, N] GLOBAL rows)."""
+    n = coords.shape[0]
+    cap_q = n // nb
+    w = min(GRID_ROW_W, g)
+    shift = int(np.log2(w))
+    gh = grid_half
+    bq = coords[:, 0]
+    gx0 = (coords[:, 1] >> level) + (gh >> level)
+    gy0 = (coords[:, 2] >> level) + (gh >> level)
+    bz0 = (coords[:, 3] >> level) + ZC
+    aug_off = (2 * r + 1) * ZWORDS
+
+    grid_s = cid_grid.reshape(nb, (g * g) // w, w)
+    base = jnp.arange(nb, dtype=jnp.int32) * ccap
+    grid_s = jnp.where(grid_s >= 0, grid_s - base[:, None, None], -1)
+    packed_s = packed.reshape(nb, ccap, packed.shape[1])
+
+    def per_b(args):
+        gb, pb, gx_b, gy_b, bz_b, ok_b = args
+        word = bz_b >> 5
+        sh = (bz_b & 31).astype(jnp.uint32)
+        occ_all = []
+        ranks = []
+        for dx in range(-r, r + 1):
+            gxn = gx_b + dx
+            okc = ok_b & (gxn >= 0) & (gxn < g)
+            flat = jnp.where(okc, gxn * g + gy_b, 0)
+            rows_id = gb[flat >> shift]
+            el = (flat & (w - 1))[:, None]
+            sel = jax.lax.broadcasted_iota(jnp.int32, rows_id.shape, 1) == el
+            cid = jnp.sum(jnp.where(sel, rows_id, 0), axis=-1)
+            hit = okc & (cid >= 0) & (cid < ccap)
+            row = pb[jnp.clip(cid, 0, ccap - 1)]  # [nq, W]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (cap_q, ZWORDS), 1)
+            # the 2r+1 dz bits live in at most TWO adjacent words: select
+            # the word pair once per slab (2 reduces, not 2r+1), shift the
+            # window into the low bits, mask per dz
+            lo_i = bz_b - r
+            # raw arithmetic word index: out-of-range (incl. negative)
+            # selects match no iota entry -> zero word, and `& 31` on the
+            # two's complement value keeps the shift alignment exact for
+            # negative lo_i
+            wlo = lo_i >> 5
+            shl = (lo_i & 31).astype(jnp.uint32)
+            for dyi in range(2 * r + 1):
+                slab = row[:, ZWORDS * dyi:ZWORDS * (dyi + 1)].astype(
+                    jnp.uint32)
+                w0 = jnp.sum(jnp.where(iota == wlo[:, None], slab,
+                                       jnp.uint32(0)), axis=-1,
+                             dtype=jnp.uint32)
+                w1 = jnp.sum(jnp.where(iota == (wlo + 1)[:, None], slab,
+                                       jnp.uint32(0)), axis=-1,
+                             dtype=jnp.uint32)
+                win = (w0 >> shl) | jnp.where(
+                    shl == 0, jnp.uint32(0),
+                    w1 << (jnp.uint32(32) - shl))
+                for k in range(2 * r + 1):
+                    bz = lo_i + k
+                    okz = hit & (bz >= 0) & (bz < ZWORDS * 32)
+                    bit = (win >> jnp.uint32(k)) & jnp.uint32(1)
+                    occ_all.append(jnp.where(okz, bit, jnp.uint32(0)))
+            if abs(dx) <= 1:
+                for dyi in range(3):
+                    off = aug_off + (ZWORDS + 1) * dyi
+                    wrds = row[:, off:off + ZWORDS].astype(jnp.uint32)
+                    startv = row[:, off + ZWORDS]
+                    idx = _rank_in_slab(wrds, startv, bz_b, hit)
+                    ranks.append(
+                        jnp.where((idx >= 0) & (idx < cap_a), idx, -1)
+                    )
+        occ = jnp.stack(occ_all, axis=1).astype(jnp.bfloat16)
+        return occ, jnp.stack(ranks, axis=0)
+
+    occ_s, c9 = jax.lax.map(per_b, (
+        grid_s, packed_s,
+        gx0.reshape(nb, cap_q), gy0.reshape(nb, cap_q),
+        bz0.reshape(nb, cap_q), valid.reshape(nb, cap_q),
+    ))
+    occ = occ_s.reshape(n, (2 * r + 1) ** 3)
+    seg = (jnp.arange(nb, dtype=jnp.int32) * cap_a)[:, None, None]
+    conv9 = jnp.where(c9 >= 0, c9 + seg, -1)
+    return occ, conv9.transpose(1, 0, 2).reshape(9, n)
+
+
+@partial(jax.jit, static_argnames=("g", "ccap", "cap_a", "nb"))
+def conv9_packed(cid_grid, packed48, coords, valid, g: int, ccap: int,
+                 cap_a: int, nb: int, grid_half: int = 0, level: int = 0):
+    """conv9 kernel map from the aug-only packed table: 3 fetches per row
+    (dx in -1..1; dy/dz resolved from the fetched 192 B row)."""
+    n = coords.shape[0]
+    cap_q = n // nb
+    w = min(GRID_ROW_W, g)
+    shift = int(np.log2(w))
+    gh = grid_half
+    gx0 = (coords[:, 1] >> level) + (gh >> level)
+    gy0 = (coords[:, 2] >> level) + (gh >> level)
+    bz0 = (coords[:, 3] >> level) + ZC
+
+    grid_s = cid_grid.reshape(nb, (g * g) // w, w)
+    base = jnp.arange(nb, dtype=jnp.int32) * ccap
+    grid_s = jnp.where(grid_s >= 0, grid_s - base[:, None, None], -1)
+    packed_s = packed48.reshape(nb, ccap, packed48.shape[1])
+
+    def per_b(args):
+        gb, pb, gx_b, gy_b, bz_b, ok_b = args
+        ranks = []
+        for dx in (-1, 0, 1):
+            gxn = gx_b + dx
+            okc = ok_b & (gxn >= 0) & (gxn < g)
+            flat = jnp.where(okc, gxn * g + gy_b, 0)
+            rows_id = gb[flat >> shift]
+            el = (flat & (w - 1))[:, None]
+            sel = jax.lax.broadcasted_iota(jnp.int32, rows_id.shape, 1) == el
+            cid = jnp.sum(jnp.where(sel, rows_id, 0), axis=-1)
+            hit = okc & (cid >= 0) & (cid < ccap)
+            row = pb[jnp.clip(cid, 0, ccap - 1)]  # [nq, 48]
+            for dyi in range(3):
+                off = (ZWORDS + 1) * dyi
+                wrds = row[:, off:off + ZWORDS].astype(jnp.uint32)
+                startv = row[:, off + ZWORDS]
+                idx = _rank_in_slab(wrds, startv, bz_b, hit)
+                ranks.append(jnp.where((idx >= 0) & (idx < cap_a), idx, -1))
+        return jnp.stack(ranks, axis=0)
+
+    c9 = jax.lax.map(per_b, (
+        grid_s, packed_s,
+        gx0.reshape(nb, cap_q), gy0.reshape(nb, cap_q),
+        bz0.reshape(nb, cap_q), valid.reshape(nb, cap_q),
+    ))
+    seg = (jnp.arange(nb, dtype=jnp.int32) * cap_a)[:, None, None]
+    out = jnp.where(c9 >= 0, c9 + seg, -1)
+    return out.transpose(1, 0, 2).reshape(9, n)
+
+
+@partial(jax.jit, static_argnames=("g", "ccap", "cap_a", "nb", "grid_half",
+                                   "level"))
+def pos3_lookup(cid_grid, aug16, coords, valid, g: int, ccap: int,
+                cap_a: int, nb: int, grid_half: int, level: int):
+    """Own-column (z-s, z, z+s) aug positions per query row, GLOBAL path
+    (queries in any order).  Returns [3, n] int32 (-1 miss)."""
+    gh = grid_half
+    bq = coords[:, 0]
+    gx0 = (coords[:, 1] >> level) + (gh >> level)
+    gy0 = (coords[:, 2] >> level) + (gh >> level)
+    bz0 = (coords[:, 3] >> level) + ZC
+    ok = (
+        valid & (gx0 >= 0) & (gx0 < g) & (gy0 >= 0) & (gy0 < g)
+    )
+    cid = _grid_lookup(cid_grid, jnp.where(ok, bq, 0),
+                       jnp.clip(gx0, 0, g - 1), jnp.clip(gy0, 0, g - 1),
+                       ok, g, nb)
+    hit = cid >= 0
+    row = _rows_or_miss(aug16, cid)
+    words = row[:, :ZWORDS].astype(jnp.uint32)
+    startv = row[:, ZWORDS]
+    seg_base = bq * cap_a
+    # one full rank + two single-bit reads: rank(bz+1) = rank(bz)+bit(bz),
+    # rank(bz-1) = rank(bz)-bit(bz-1) — exact across word boundaries
+    bzc = jnp.clip(bz0, 0, ZWORDS * 32 - 1)
+    rank0, ex0 = _rank_from_row(words, bzc)
+    bit_m1 = _bit_at(words, jnp.clip(bz0 - 1, 0, ZWORDS * 32 - 1))
+    outs = []
+    for dz, (rank, ex) in zip(
+        (-1, 0, 1),
+        ((rank0 - bit_m1, bit_m1 == 1),
+         (rank0, ex0),
+         (rank0 + ex0.astype(jnp.int32),
+          None)),
+    ):
+        if ex is None:
+            ex = _bit_at(words, jnp.clip(bz0 + 1, 0, ZWORDS * 32 - 1)) == 1
+        bzd = bz0 + dz
+        okz = hit & (bzd >= 0) & (bzd < ZWORDS * 32) & ex
+        idx = startv + rank
+        okr = okz & (idx >= 0) & ((idx - seg_base) < cap_a)
+        outs.append(jnp.where(okr, idx, -1))
+    return jnp.stack(outs, axis=0)
+
+
 
 
 def _seg_valid_mask(counts, num_batches: int, seg_cap: int):
@@ -578,6 +612,8 @@ class ZSegPlanBuilder:
         num_batches: int,
         grid_half: int = 1024,
         stem_kernel: int = 5,
+        caps_col: Tuple[int, ...] = None,
+        caps_col_dil: Tuple[int, ...] = None,
     ):
         assert len(caps_real) == NUM_LEVELS and len(caps_aug) == NUM_LEVELS
         self.caps_real = tuple(int(c) for c in caps_real)
@@ -585,6 +621,23 @@ class ZSegPlanBuilder:
         self.num_batches = num_batches
         self.grid_half = grid_half
         self.stem_kernel = stem_kernel
+        # per-scan COLUMN capacities; columns never outnumber real voxels,
+        # so caps_real is always a safe default (measured ring scans:
+        # ~0.65/0.6/0.75 columns per real voxel at L0/1/2+)
+        self.caps_col = tuple(
+            int(c) for c in (caps_col if caps_col is not None else caps_real)
+        )
+        # y-dilated column capacities (the packed sweep tables live on the
+        # y-dilated column set — see _dilate_y).  The safe bound is
+        # (2r+1) x columns (r = stem radius at L0, 1 elsewhere); measured
+        # ring scans run ~1.4-1.8x, so callers chasing memory pass
+        # measured caps here.
+        if caps_col_dil is None:
+            rp = [max(stem_kernel // 2, 1)] + [1] * (NUM_LEVELS - 1)
+            caps_col_dil = tuple(
+                (2 * rp[i] + 1) * self.caps_col[i] for i in range(NUM_LEVELS)
+            )
+        self.caps_col_dil = tuple(int(c) for c in caps_col_dil)
 
     def __call__(self, coords, mask) -> ZPlan:
         B, gh = self.num_batches, self.grid_half
@@ -592,76 +645,152 @@ class ZSegPlanBuilder:
         kmaps: Dict[str, Any] = {}
         overflow = []
 
-        # ---- level 0: the REAL bit-plane feeds overflow accounting and
-        # the fused stem+conv9 sweep's side table (no real-layout table,
-        # no real->aug scatter — stem occupancy lives on the aug layout).
-        bits_r, _ = bitgrid.build_bits(coords, mask, B, gh, 0)
-        counts_r = _per_batch_counts(bits_r)
-        overflow.append(jnp.sum(jnp.maximum(counts_r - capR0, 0)))
-
         levels = []
-        bits_level = bits_r  # real-occupancy pyramid
         prev = None  # (coords_a, real_a) of previous level
-        fine_table = None  # (cid, comp, capA) of previous level's aug table
+        fine_grid = None  # (grid_d, real16, g, ccap_d) of previous level
+        pos_in = None
         for i in range(NUM_LEVELS):
             capA = self.caps_aug[i]
+            ccap_d = self.caps_col_dil[i]
+            rpack = (self.stem_kernel // 2) if i == 0 else 1
             s = 1 << i
+            g = (2 * gh) >> i
             if i == 0:
                 src_coords, src_valid = coords, mask
             else:
-                bits_level = bitgrid.coarsen_bits(bits_level)
                 pc, pr = prev
                 parent_xyz = (pc[:, 1:4] >> i) << i
                 src_coords = jnp.concatenate([pc[:, :1], parent_xyz], axis=1)
                 src_valid = pr
 
-            gb = ghost_bits(bits_level)
-            bits_a = bits_level | gb
+            # ---- the y-DILATED column set of this level's REAL plane.
+            # Every structure lives on it: a sweep's center column
+            # (gx+dx, gy) can be empty while its y-neighbors hold rows
+            # (_dilate_y docstring), and empty-column slots carry zero
+            # word rows, which every consumer treats as a miss.
+            b_, gx, gy, bz, inb = _cell_of(src_coords, gh, i)
+            ok = src_valid & inb
+            gxc = jnp.clip(gx, 0, g - 1)
+            gyc = jnp.clip(gy, 0, g - 1)
+            bsafe = jnp.where(ok, b_, 0)
+            key = (bsafe * g + gxc) * g + gyc
             if i == 0:
-                cid_a, comp_a, realb = compact_table_seg(
-                    bits_a, src_coords, src_valid, gh, i, B * capA, capA,
-                    extra_bits=bits_r,
+                # real-row accounting (overflow[0] contract: level-0 real
+                # voxels beyond caps_real[0] per scan)
+                nreal_b = (
+                    jnp.zeros((B + 1,), jnp.int32)
+                    .at[jnp.where(ok, b_, B)]
+                    .add(1, mode="drop")[:B]
                 )
+                overflow.append(jnp.sum(jnp.maximum(nreal_b - capR0, 0)))
+            cells = B * g * g
+            cslot0 = jnp.where(ok, key, cells)
+            has2 = (
+                jnp.zeros((cells + 1,), jnp.int8)
+                .at[cslot0].set(1, mode="drop")[:cells]
+            ).reshape(B, g * g).astype(jnp.int32)
+            has_d = _dilate_y(has2, g, rpack)
+            grid_d, _, col_over_d = _grid_from_has(has_d, B, g, ccap_d)
+            # per-voxel stamping of the y-window enumerates dilated slots
+            # (every dilated slot is in some voxel's window by definition).
+            # ONE lookup per voxel: an occupied column's whole +-r y-window
+            # is dilated and CONTIGUOUS, so slot of (gx, gy+dy) is
+            # vox_cid + dy.
+            vox_cid = _grid_lookup(grid_d, bsafe, gxc, gyc, ok, g, B)
+            col_bxy = jnp.full((B * ccap_d + 1,), -1, jnp.int32)
+            pack0 = _pack_bxy(bsafe, gxc, gyc)
+            seg0 = bsafe * ccap_d
+            for dy in range(-rpack, rpack + 1):
+                gyn = gyc + dy
+                # segment guard: only meaningful under column-cap
+                # overflow (counted), but must never corrupt another
+                # batch's slots
+                okn = (
+                    ok & (gyn >= 0) & (gyn < g) & (vox_cid >= 0)
+                    & (vox_cid + dy >= seg0)
+                    & (vox_cid + dy < seg0 + ccap_d)
+                )
+                sl = jnp.where(okn, vox_cid + dy, B * ccap_d)
+                col_bxy = col_bxy.at[sl].set(pack0 + dy, mode="drop")
+            col_bxy = col_bxy[:B * ccap_d]
+            col_valid = col_bxy >= 0
+            col_bxy = jnp.maximum(col_bxy, 0)
+
+            if i == 0:
+                # scatter-add voxel bits: unique (b,x,y,z) => add == OR
+                word = jnp.clip(bz >> 5, 0, ZWORDS - 1)
+                bit = jnp.where(
+                    ok, jnp.uint32(1) << (bz & 31).astype(jnp.uint32),
+                    jnp.uint32(0),
+                )
+                cslot = jnp.where(vox_cid >= 0, vox_cid, B * ccap_d)
+                real16 = (
+                    jnp.zeros((B * ccap_d + 1, 16), jnp.uint32)
+                    .at[cslot, word].add(bit, mode="drop")[:B * ccap_d]
+                ).astype(jnp.int32)
             else:
-                cid_a, comp_a = compact_table_seg(
-                    bits_a, src_coords, src_valid, gh, i, B * capA, capA
+                # coarse real words from the FINE table: 4 child column
+                # fetches + pairwise z OR (exactly the old 3D coarsen_bits
+                # per column; fine gx = 2*coarse_gx + {0,1} in grid coords)
+                f_grid, f_real16, f_g, f_ccap = fine_grid
+                bC, gxC, gyC = _unpack_bxy(col_bxy)
+                acc = jnp.zeros((B * ccap_d, ZWORDS), jnp.uint32)
+                for cx in (0, 1):
+                    for cy in (0, 1):
+                        gxf = 2 * gxC + cx
+                        gyf = 2 * gyC + cy
+                        okf = col_valid & (gxf < f_g) & (gyf < f_g)
+                        cidf = _grid_lookup(
+                            f_grid, bC, jnp.clip(gxf, 0, f_g - 1),
+                            jnp.clip(gyf, 0, f_g - 1), okf, f_g, B,
+                        )
+                        acc = acc | _rows_or_miss(
+                            f_real16, cidf
+                        )[:, :ZWORDS].astype(jnp.uint32)
+                real16 = jnp.concatenate(
+                    [_zpair_words(acc).astype(jnp.int32),
+                     jnp.zeros((B * ccap_d, 16 - ZWORDS), jnp.int32)],
+                    axis=1,
                 )
-            # one column fetch resolves aug slots of (z-s, z, z+s)
-            pos3 = lookup_map_seg(
-                cid_a, comp_a, src_coords, src_valid, ((0, 0),),
-                (-1, 0, 1), gh, i, capA,
-                chunk_batches=0 if i == 0 else B,
+
+            aug16, counts_b = _assemble_aug(
+                real16, col_bxy, col_valid, grid_d, B, g, ccap_d, capA
+            )
+            # augmented rows dropped to per-segment capacity, plus any
+            # voxels lost to dilated-column-cap overflow (duplicated
+            # parents may overcount the latter at i>0 — diagnostics only,
+            # 0 when caps hold)
+            vox_drop = jnp.sum((ok & (vox_cid < 0)).astype(jnp.int32))
+            overflow.append(
+                jnp.sum(jnp.maximum(counts_b - capA, 0))
+                + vox_drop + col_over_d
+            )
+
+            # one own-column fetch resolves aug slots of (z-s, z, z+s)
+            pos3 = pos3_lookup(
+                grid_d, aug16, src_coords, src_valid, g, ccap_d, capA, B,
+                gh, i,
             )
             # Scatter ONE packed int32 per candidate instead of an [n, 4]
-            # coord row — the coord scatters were the plan's single
-            # biggest cost (VMEM-write-bound, ~19% of the build; plan
-            # profile 2026-08).  Layout: gxgy<<9 | bz (cell coords at
-            # this level; b is implied by the row's segment).
-            g_lvl = (2 * gh) >> i
-            cgx = (src_coords[:, 1] >> i) + (gh >> i)
-            cgy = (src_coords[:, 2] >> i) + (gh >> i)
-            cbz = (src_coords[:, 3] >> i) + ZC
+            # coord row.  Layout: gxgy<<9 | bz (cell coords at this level;
+            # b is implied by the row's segment).
             packed0 = (
-                ((cgx * g_lvl + cgy).astype(jnp.uint32) << 9)
-                | cbz.astype(jnp.uint32)
+                ((gxc * g + gyc).astype(jnp.uint32) << 9)
+                | jnp.clip(bz, 0, ZWORDS * 32 - 1).astype(jnp.uint32)
             )
-            # dz in {-s, 0, +s} shifts bz by {-1, 0, +1} at this level
             cand_p = jnp.concatenate(
                 [packed0 - 1, packed0, packed0 + 1]
             ).astype(jnp.int32)
             packed_a = _scatter_rows(pos3.reshape(-1), cand_p, B * capA)
             pu = packed_a.astype(jnp.uint32)
             gxgy = (pu >> 9).astype(jnp.int32)
-            ax = ((gxgy // g_lvl) - (gh >> i)) << i
-            ay = ((gxgy % g_lvl) - (gh >> i)) << i
+            ax = ((gxgy // g) - (gh >> i)) << i
+            ay = ((gxgy % g) - (gh >> i)) << i
             az = ((pu & jnp.uint32(511)).astype(jnp.int32) - ZC) << i
-            ab = (
-                jnp.arange(B * capA, dtype=jnp.int32) // capA
-            )
+            ab = jnp.arange(B * capA, dtype=jnp.int32) // capA
             coords_a = jnp.stack([ab, ax, ay, az], axis=1)
             real_a = _scatter_flag(pos3[1], src_valid, B * capA)
-            counts_a = _per_batch_counts(bits_a)
-            valid_a = _seg_valid_mask(counts_a, B, capA)
+            valid_a = _seg_valid_mask(counts_b, B, capA)
             coords_a = jnp.where(valid_a[:, None], coords_a, 0)
             real_a = real_a & valid_a
             zup, zdn = _z_adjacency(coords_a, valid_a, s)
@@ -669,21 +798,24 @@ class ZSegPlanBuilder:
                 ZLevel(coords=coords_a, real=real_a, valid=valid_a,
                        zup=zup, zdn=zdn, stride=s)
             )
-            # augmented rows dropped to per-segment capacity (any dropped
-            # REAL voxel is included in this count)
-            overflow.append(jnp.sum(jnp.maximum(counts_a - capA, 0)))
 
             if i == 0:
-                # fused stem + conv9: one 25-column sweep on the aug table
-                kmaps["stem_occ"], kmaps["conv9_l0"] = stem_conv9_seg(
-                    cid_a, comp_a, realb, coords_a, valid_a,
-                    self.stem_kernel // 2, gh, capA, B,
+                r = self.stem_kernel // 2
+                packedL = _build_packed(
+                    real16, aug16, col_bxy, col_valid, B, ccap_d, capA, r,
+                )
+                kmaps["stem_occ"], kmaps["conv9_l0"] = stem_conv9_packed(
+                    grid_d, packedL, coords_a, valid_a, g, ccap_d, capA, r,
+                    B, grid_half=gh, level=0,
                 )
                 pos_in = jnp.where(mask, pos3[1], -1)
             else:
-                kmaps[f"conv9_l{i}"] = lookup_map_seg(
-                    cid_a, comp_a, coords_a, valid_a, CONV9_XY, (0,), gh, i,
-                    capA, chunk_batches=B,
+                packedL = _build_packed(
+                    real16, aug16, col_bxy, col_valid, B, ccap_d, capA, -1,
+                )
+                kmaps[f"conv9_l{i}"] = conv9_packed(
+                    grid_d, packedL, coords_a, valid_a, g, ccap_d, capA, B,
+                    grid_half=gh, level=i,
                 )
                 # strided pair maps between level i-1 (fine) and i (coarse).
                 # parent per FINE aug row IS pos3's dz=0 lookup: src_coords
@@ -703,9 +835,9 @@ class ZSegPlanBuilder:
                 # down map = the TRANSPOSE of (parent, off): each real fine
                 # row is the unique child of its parent at its offset, so
                 # ONE scatter replaces the 8-offset lookup against the fine
-                # table (7.7 vs ~17 ms at L0, micro_zpacked.py).  Fine
-                # ghost cells come out -1 instead of their row — their
-                # features are zero, so down-conv gathers are unchanged.
+                # table.  Fine ghost cells come out -1 instead of their
+                # row — their features are zero, so down-conv gathers are
+                # unchanged.
                 fidx = jnp.arange(parent.shape[0], dtype=jnp.int32)
                 pslot = jnp.where(parent >= 0, parent, B * capA)
                 kmaps[f"down8_l{i-1}"] = (
@@ -713,7 +845,7 @@ class ZSegPlanBuilder:
                     .at[jnp.clip(offv, 0, 7), pslot]
                     .set(fidx, mode="drop")[:, :B * capA]
                 )
-            fine_table = (cid_a, comp_a, capA)
+            fine_grid = (grid_d, real16, g, ccap_d)
             prev = (coords_a, real_a)
 
         return ZPlan(
