@@ -28,6 +28,10 @@ POINTS = 100_000
 VOXEL = 0.05
 BOUND = 50.0
 CAPS = (393_216, 196_608, 98_304, 32_768, 12_288)
+# zseg v6 per-scan caps (see bench.py)
+ZCAPS_R = (92_160, 61_440, 22_528, 9_216, 3_584)
+ZCAPS_A = (122_880, 77_824, 25_600, 10_752, 4_352)
+ZCAPS_D = (196_608, 93_184, 54_272, 23_552, 9_728)
 STEPS = 10
 
 
@@ -39,7 +43,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from lidog_tpu.core.plan import input_tensor
+    from lidog_tpu.core.engine import input_tensor
     from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
     from lidog_tpu.data.bev import collate_bev, preprocess_scan_bev
     from lidog_tpu.data.synthetic import SyntheticLidarDataset
@@ -72,8 +76,20 @@ def main():
         in_channels=1, out_channels=7, num_batches=BATCH, voxel_size=VOXEL,
         bound_2d=BOUND, compute_dtype=dtype,
     )
-    builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
+    if os.environ.get("LIDOG_TPU_ENGINE", "zseg") == "zseg":
+        from lidog_tpu.core.zseg import ZSegPlanBuilder
+
+        builder = jax.jit(ZSegPlanBuilder(
+            ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024,
+            caps_col_dil=ZCAPS_D,
+        ))
+    else:
+        builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
     plan0 = builder(batch["coords"], batch["mask"])
+    import numpy as _np
+    assert int(_np.asarray(plan0.overflow).sum()) == 0, (
+        f"bench caps overflowed: {_np.asarray(plan0.overflow)}"
+    )
     x0 = input_tensor(plan0, batch["feats"])
     variables = model.init(
         jax.random.PRNGKey(0), x0, plan0, train=False, is_train=True

@@ -36,6 +36,30 @@ def main():
     # warm one item (numba/np caches, page-in)
     _ = ds[0]
 
+    # preprocessing-only rate (voxelize + consensus + raster + soft/BEV),
+    # with the synthetic raycaster (the disk-IO stand-in) excluded: this
+    # is the per-core number that sizes production hosts
+    from lidog_tpu.data.bev import preprocess_scan_bev
+
+    raw = [
+        (s["points"], s["sem_labels"])
+        for s in (base.get_scan(i) for i in range(4))
+    ]
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        for pts, lab in raw:
+            preprocess_scan_bev(
+                pts, lab, voxel_size=0.05, bound_2d=50.0, sub_p=0.8,
+                augmentations=base.augmentations, train=True,
+                bev_img_sizes={"block8": 167},
+            )
+    dt = (time.perf_counter() - t0) / (reps * len(raw))
+    print(json.dumps({
+        "preprocess_only_ms_per_scan": round(dt * 1e3, 1),
+        "preprocess_scans_per_sec_per_core": round(1.0 / dt, 1),
+    }), flush=True)
+
     for threads in (1, 2, 4):
         loader = Loader(
             ds, batch_size=4, capacity=4 * CAP, seed=0,

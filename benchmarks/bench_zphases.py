@@ -65,7 +65,8 @@ def main():
 
     for name, builder in (
         ("zseg", jax.jit(ZSegPlanBuilder(ZCAPS_R, ZCAPS_A,
-                                         num_batches=BATCH, grid_half=1024))),
+                                         num_batches=BATCH, grid_half=1024,
+                                         caps_col_dil=ZCAPS_D))),
         ("gather", BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)),
     ):
         plan = builder(batch["coords"], batch["mask"])

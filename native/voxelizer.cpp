@@ -48,11 +48,14 @@ int32_t lidog_voxelize(const float* points, int64_t n, float voxel_size,
                        int32_t* out_coords, int32_t* out_rep,
                        int32_t* out_inverse, int64_t max_out) {
   if (n <= 0) return 0;
-  const float inv = 1.0f / voxel_size;
 
   // Open-addressing hash table.
   size_t cap = 1;
-  while (cap < (size_t)(n * 2)) cap <<= 1;
+  int cap_bits = 0;
+  while (cap < (size_t)(n * 2)) {
+    cap <<= 1;
+    ++cap_bits;
+  }
   std::vector<int64_t> keys(cap, -1);
   std::vector<int32_t> slot_cell(cap, -1);
   std::vector<Cell> cells;
@@ -62,13 +65,21 @@ int32_t lidog_voxelize(const float* points, int64_t n, float voxel_size,
   for (int64_t i = 0; i < n; ++i) {
     int32_t c[3];
     for (int d = 0; d < 3; ++d) {
-      float v = points[i * 3 + d] * inv;
+      // IEEE float32 DIVISION, exactly like the numpy/JAX paths — a
+      // reciprocal-multiply lands boundary points (e.g. y = 4.2,
+      // 4.2f*20f = 83.999996) in the neighboring cell.
+      float v = points[i * 3 + d] / voxel_size;
       int32_t q = (int32_t)std::floor(v);
       if (q < -(1 << 20) || q >= (1 << 20)) return -1;
       c[d] = q;
     }
     int64_t key = pack(c[0], c[1], c[2]);
-    size_t h = (size_t)(key * 0x9E3779B97F4A7C15ULL) & (cap - 1);
+    // Fibonacci hashing MUST take the HIGH product bits: the low bits of
+    // key*C depend only on the low (z-field) bits of the packed key, and
+    // LiDAR scans have few distinct z cells -> probe chains of hundreds
+    // (measured 512 ms/100k-pt scan on ring data vs 17 ms on random).
+    size_t h = (size_t)(((uint64_t)key * 0x9E3779B97F4A7C15ULL)
+                        >> (64 - cap_bits)) & (cap - 1);
     while (true) {
       if (keys[h] == -1) {
         keys[h] = key;

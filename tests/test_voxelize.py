@@ -101,6 +101,15 @@ def test_native_voxelizer_matches_numpy(scan):
     if not native.available():
         pytest.skip("native toolchain unavailable")
     pts, _ = scan
+    # include cell-BOUNDARY points (exact voxel multiples): float32
+    # division vs reciprocal-multiply disagree by one ulp exactly there
+    # (y = 4.2: 4.2f*20f = 83.999996 vs 4.2f/0.05f = 84), which once put
+    # two voxels of a ring scan in neighboring cells
+    grid = (np.arange(-30, 30, dtype=np.float32) * 0.05)
+    boundary = np.stack(
+        [grid, grid[::-1], np.repeat(4.2, len(grid)).astype(np.float32)], 1
+    )
+    pts = np.concatenate([pts, boundary]).astype(np.float32)
     a = voxelize_np(pts, 0.05, use_native=False)
     b = voxelize_np(pts, 0.05, use_native=True)
     assert np.array_equal(a.coords, b.coords)
