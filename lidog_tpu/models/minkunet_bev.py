@@ -97,6 +97,9 @@ class MinkUNet34BEV(nn.Module):
                     voxel_size=self.voxel_size,
                     bound=self.bound_2d,
                     pool_stride=int(3 / sf),
+                    # zseg level rows are per-scan segmented -> the
+                    # scatter-max backward chunks its gathers per batch
+                    segmented_rows=type(plan).__name__ == "ZPlan",
                 )
                 head = Encoder2D(
                     n_classes=self.out_channels,

@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def bev_scatter_pooled(
@@ -37,6 +38,7 @@ def bev_scatter_pooled(
     pool_window: int = 5,
     pool_stride: int = 3,
     pool_pad: int = 1,
+    segmented_rows: bool = False,
 ):
     """coords int32 [N, 4] raw grid coords (any stride, in stride-1 units);
     feats [N, C]; mask [N] -> [B, H_out, W_out, C] pooled BEV features.
@@ -71,14 +73,84 @@ def bev_scatter_pooled(
     # Each input pixel reaches at most ceil(window/stride) pool outputs per
     # axis (2 for the default 5/3; 1 for the scaled strides >= window).
     cands = -(-pool_window // pool_stride)
+    bbs, iys, ixs = [], [], []
     for dy in range(cands):
         for dx in range(cands):
             iy = ylo + dy
             ix = xlo + dx
             valid = ok & (iy <= yhi) & (ix <= xhi)
             valid = valid & (iy >= 0) & (iy < out_hw) & (ix >= 0) & (ix < out_hw)
-            bb = jnp.where(valid, b, num_batches)  # drop row
-            out = out.at[bb, jnp.clip(iy, 0, out_hw - 1), jnp.clip(ix, 0, out_hw - 1)].max(
-                fz, mode="drop"
-            )
+            bbs.append(jnp.where(valid, b, num_batches))  # drop row
+            iys.append(jnp.clip(iy, 0, out_hw - 1))
+            ixs.append(jnp.clip(ix, 0, out_hw - 1))
+    return _pooled_scatter_max(
+        fz, jnp.stack(bbs), jnp.stack(iys), jnp.stack(ixs), num_batches,
+        out_hw, segmented_rows,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _pooled_scatter_max(fz, bb, iy, ix, nb: int, out_hw: int,
+                        segmented: bool):
+    """K-candidate scatter-max core with a batch-chunked backward.
+
+    JAX's stock scatter-max VJP gathers the answer AND the cotangent at
+    every update against the full [B, out_hw, out_hw, C] grid — a ~680 MB
+    operand, deep in the footprint-cliff slow tier (measured 293 ms at
+    LiDOG bench scale vs 42 ms forward).  When the rows are per-scan
+    SEGMENTED (zseg layouts), the backward chunks both gathers per batch
+    (85 MB operands, fast tier)."""
+    c = fz.shape[-1]
+    out = jnp.zeros((nb, out_hw, out_hw, c), fz.dtype)
+    for j in range(bb.shape[0]):
+        out = out.at[bb[j], iy[j], ix[j]].max(fz, mode="drop")
     return out
+
+
+def _psm_fwd(fz, bb, iy, ix, nb, out_hw, segmented):
+    out = _pooled_scatter_max(fz, bb, iy, ix, nb, out_hw, segmented)
+    return out, (fz, bb, iy, ix, out)
+
+
+def _psm_bwd(nb, out_hw, segmented, res, dout):
+    fz, bb, iy, ix, out = res
+    n, c = fz.shape
+    k = bb.shape[0]
+    cells = out_hw * out_hw
+    flat = iy * out_hw + ix  # [k, n]
+    live = bb < nb
+    dfz = jnp.zeros((n, c), jnp.float32)
+    if segmented and n % nb == 0:
+        seg = n // nb
+        out_s = out.reshape(nb, cells, c)
+        dout_s = dout.reshape(nb, cells, c)
+        flat_s = flat.reshape(k, nb, seg).transpose(1, 0, 2)
+        live_s = live.reshape(k, nb, seg).transpose(1, 0, 2)
+        fz_s = fz.reshape(nb, seg, c)
+
+        def per_b(args):
+            ob, db, fb, lb, xb = args  # [cells,c]x2, [k,seg]x2, [seg,c]
+            acc = jnp.zeros((seg, c), jnp.float32)
+            for j in range(k):
+                idx = jnp.where(lb[j], fb[j], 0)
+                won = (xb == ob[idx]) & lb[j][:, None]
+                acc = acc + jnp.where(won, db[idx].astype(jnp.float32), 0.0)
+            return acc
+
+        dfz = jax.lax.map(
+            per_b, (out_s, dout_s, flat_s, live_s, fz_s)
+        ).reshape(n, c)
+    else:
+        out_f = out.reshape(nb * cells, c)
+        dout_f = dout.reshape(nb * cells, c)
+        gidx = jnp.where(live, bb * cells + flat, 0)
+        for j in range(k):
+            won = (fz == out_f[gidx[j]]) & live[j][:, None]
+            dfz = dfz + jnp.where(
+                won, dout_f[gidx[j]].astype(jnp.float32), 0.0
+            )
+    z0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (dfz.astype(fz.dtype), z0(bb), z0(iy), z0(ix))
+
+
+_pooled_scatter_max.defvjp(_psm_fwd, _psm_bwd)

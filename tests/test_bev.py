@@ -50,6 +50,60 @@ def test_bev_scatter_matches_dense_pool_oracle(rng):
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
 
 
+def test_bev_scatter_custom_vjp_matches_native_grad(rng):
+    """The custom scatter-max VJP (ops/bev.py _pooled_scatter_max, both
+    the batch-chunked segmented path and the global fallback) must equal
+    jax's native scatter-max gradient."""
+    import jax
+
+    grid = 24
+    n_per = 80
+    coords = np.hstack(
+        [
+            np.repeat([[0], [1]], n_per, axis=0),  # SEGMENTED rows
+            rng.randint(-grid // 2, grid // 2, (2 * n_per, 2)),
+            rng.randint(-5, 5, (2 * n_per, 1)),
+        ]
+    ).astype(np.int32)
+    feats = rng.rand(2 * n_per, 3).astype(np.float32)
+    mask = rng.rand(2 * n_per) > 0.1
+    cj, fj, mj = jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(mask)
+
+    def native_loss(f):
+        # same scatter math, no custom VJP: jax differentiates .at[].max
+        out = jnp.zeros((2, 8, 8, 3), f.dtype)
+        g2 = grid // 2
+        px = cj[:, 1] + g2
+        py = (grid - 1) - (cj[:, 2] + g2)
+        ok = mj & (px >= 0) & (px < grid) & (py >= 0) & (py < grid)
+        fz = f * ok[:, None]
+        for dy in range(2):
+            for dx in range(2):
+                iy = jnp.ceil((py - 3) / 3).astype(jnp.int32) + dy
+                ix = jnp.ceil((px - 3) / 3).astype(jnp.int32) + dx
+                v = ok & (iy * 3 - 1 <= py) & (py < iy * 3 + 4)
+                v &= (ix * 3 - 1 <= px) & (px < ix * 3 + 4)
+                v &= (iy >= 0) & (iy < 8) & (ix >= 0) & (ix < 8)
+                bb = jnp.where(v, cj[:, 0], 2)
+                out = out.at[
+                    bb, jnp.clip(iy, 0, 7), jnp.clip(ix, 0, 7)
+                ].max(fz, mode="drop")
+        return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))
+                ).sum()
+
+    def custom_loss(f, segd):
+        out = bev_scatter_pooled(cj, f, mj, num_batches=2, voxel_size=1.0,
+                                 bound=grid / 2, segmented_rows=segd)
+        return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))
+                ).sum()
+
+    g_ref = jax.grad(native_loss)(fj)
+    for segd in (False, True):
+        g = jax.grad(lambda f: custom_loss(f, segd))(fj)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_bev_label_image_semantics(rng):
     img_size = 20
     bound = 10.0
