@@ -397,3 +397,30 @@ def test_stem_occ_and_input_scatter(built):
     assert (xa[pos[m & (pos >= 0)]] == feats[m & (pos >= 0), 0]).all()
     # ghost rows zero
     assert (xa[~np.asarray(plan.level(0).real)] == 0).all()
+
+
+def test_starved_dilated_caps_degrade_safely():
+    """Column-cap overflow must be REPORTED (nonzero overflow) and must
+    never corrupt another batch's segment: the slot-arithmetic stamping
+    is segment-guarded, so every valid row of every level still carries
+    its own batch id and plan consumers see well-formed (if incomplete)
+    tables."""
+    rng = np.random.RandomState(3)
+    coords, mask, _ = _build_inputs(rng)
+    # dilated caps far below the ~270-colum n/scan need at L0
+    tiny = (128, 96, 64, 48, 32)
+    builder = ZSegPlanBuilder(CAPS_R, CAPS_A, num_batches=B, grid_half=64,
+                              caps_col_dil=tiny)
+    plan = jax.jit(builder)(jnp.asarray(coords), jnp.asarray(mask))
+    assert int(np.asarray(plan.overflow).sum()) > 0
+    for lvl in range(NUM_LEVELS):
+        L = plan.level(lvl)
+        cl = np.asarray(L.coords)
+        valid = np.asarray(L.valid)
+        capA = CAPS_A[lvl]
+        for b in range(B):
+            seg = slice(b * capA, (b + 1) * capA)
+            assert (cl[seg][valid[seg]][:, 0] == b).all()
+        # conv9 entries stay in-range (or -1)
+        nbr9 = np.asarray(plan.kmaps[f"conv9_l{lvl}"])
+        assert ((nbr9 == -1) | ((nbr9 >= 0) & (nbr9 < B * capA))).all()
