@@ -45,8 +45,83 @@ ZCAPS_D = (196_608, 93_184, 54_272, 23_552, 9_728)
 STEPS = 10
 
 
+_T0 = time.time()
+_PHASE = {"name": "start"}
+
+
+def _phase(name):
+    """Per-phase stderr timing so a partial/failed run still informs."""
+    _PHASE["name"] = name
+    print(f"[bench {time.time() - _T0:7.1f}s] phase: {name}", file=sys.stderr, flush=True)
+
+
+def _diagnostics_line(err):
+    """On failure print ONE JSON line with diagnostics instead of a bare
+    traceback (the round-3 BENCH capture died opaque at backend init)."""
+    import traceback
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_scans_per_sec_per_chip",
+                "value": None,
+                "unit": "scans/s (voxelize+plan+fwd+bwd+adam, 100k pts/scan)",
+                "vs_baseline": None,
+                "diagnostics": {
+                    "phase": _PHASE["name"],
+                    "elapsed_s": round(time.time() - _T0, 1),
+                    "error_class": type(err).__name__,
+                    "error": str(err)[:500],
+                },
+            }
+        )
+    )
+    traceback.print_exc(file=sys.stderr)
+
+
+def _init_backend_with_retries(max_tries=4, backoffs=(60, 120, 240)):
+    """The axon TPU tunnel in this image sometimes takes many minutes to come
+    up or fails transiently at init (BENCH_r03 died here).  Retry with
+    bounded backoff; each attempt itself can block for a long time inside
+    jax.devices(), so the total budget is dominated by the attempts."""
+    import importlib
+
+    last = None
+    for attempt in range(max_tries):
+        try:
+            import jax
+
+            devs = jax.devices()
+            print(
+                f"[bench {time.time() - _T0:7.1f}s] backend up: {devs}",
+                file=sys.stderr,
+                flush=True,
+            )
+            return jax
+        except RuntimeError as e:
+            last = e
+            print(
+                f"[bench {time.time() - _T0:7.1f}s] backend init attempt "
+                f"{attempt + 1}/{max_tries} failed: {e}",
+                file=sys.stderr,
+                flush=True,
+            )
+            if attempt < max_tries - 1:
+                time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
+                # jax caches the failed backend; reset the bridge state so
+                # the next attempt actually retries.
+                try:
+                    import jax._src.xla_bridge as xb
+
+                    xb.backends_are_initialized() and xb._clear_backends()
+                except Exception:
+                    importlib.reload(sys.modules["jax._src.xla_bridge"])
+    raise last
+
+
 def main():
-    import jax
+    _phase("backend_init")
+    jax = _init_backend_with_retries()
 
     # Compiles through the axon tunnel cost ~20 s each; cache them across runs.
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -63,6 +138,7 @@ def main():
 
     from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
 
+    _phase("data_gen")
     ds = SyntheticLidarDataset(
         num_scans=BATCH, points_per_scan=POINTS, radius=RADIUS, seed=0
     )
@@ -92,6 +168,7 @@ def main():
         f"bench caps overflowed: {np.asarray(plan0.overflow)}"
     )
     x0 = input_tensor(plan0, batch0["feats"])
+    _phase("model_init")
     variables = model.init(jax.random.PRNGKey(0), x0, plan0, train=False)
 
     tx = make_optimizer("Adam", lr=1e-3)
@@ -111,9 +188,11 @@ def main():
         return inner(state, batch, plan)
 
     # Warmup / compile.
+    _phase("compile_warmup")
     state, metrics = full_step(state, pts_d, valid_d, labels_d)
     _ = float(metrics["loss"])
 
+    _phase("timed_loop")
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = full_step(state, pts_d, valid_d, labels_d)
@@ -134,4 +213,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # one parseable line, full trace to stderr
+        _diagnostics_line(e)
+        sys.exit(1)

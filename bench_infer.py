@@ -1,9 +1,16 @@
-"""Serving-path benchmark: single-scan inference latency / throughput.
+"""Serving-path benchmark: `serve.Predictor` latency (per-POINT labels).
 
-The reference's serve path is eval_target.py (batch x2, fp32, forward
-only). Here: raw points -> device voxelize -> bitgrid plan -> MinkUNet34
-forward (bf16), batch 1, reference scale (100k points).  Prints one JSON
-line (supplementary to bench.py, which reports training throughput).
+Round-3 measured a hand-rolled voxelize->plan->argmax loop; this now
+benches the SHIPPED deployment class — raw points -> device voxelize ->
+zseg plan -> MinkUNet34 forward (bf16) -> argmax -> inverse map back to
+per-point labels (lidog_tpu.serve.Predictor) — with DOUBLE-BUFFERED
+host->device input: scan i+1 is device_put while scan i computes, so the
+H2D transfer (1.2 MB per 100k-pt scan) rides under the forward.
+
+The reference's serve path is eval_target.py -> trainer.test
+(utils/pipelines/trainer_lighting.py:191-253: forward + inverse-mapped
+voxel predictions).  Batch via LIDOG_TPU_INFER_BATCH (default 1).
+Prints one JSON line (supplementary to bench.py).
 """
 
 import json
@@ -13,17 +20,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-BATCH = int(__import__("os").environ.get("LIDOG_TPU_INFER_BATCH", "1"))
+BATCH = int(os.environ.get("LIDOG_TPU_INFER_BATCH", "1"))
 POINTS = 100_000
 VOXEL = 0.05
-CAPS = (131_072, 65_536, 32_768, 12_288, 4_096)
-CAP_IN = 98_304 * BATCH  # pooled input voxel slots (~80k/scan actual)
-# zseg engine per-scan caps (see bench.py)
-ZCAPS_R = (92_160, 61_440, 22_528, 9_216, 3_584)
-ZCAPS_A = (122_880, 77_824, 25_600, 10_752, 4_352)
-# v6 dilated-column caps: measured y-dilated counts +15% (see
-# core/zseg._dilate_y; the overflow assert keeps these honest)
-ZCAPS_D = (196_608, 93_184, 54_272, 23_552, 9_728)
 STEPS = 20
 
 
@@ -36,56 +35,79 @@ def main():
     import numpy as np
 
     from lidog_tpu.core.engine import input_tensor
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
     from lidog_tpu.data.synthetic import SyntheticLidarDataset
     from lidog_tpu.models import MinkUNet34
+    from lidog_tpu.serve import Predictor
     from lidog_tpu.train.device_pipeline import device_batch_from_points
 
-    ds = SyntheticLidarDataset(num_scans=BATCH, points_per_scan=POINTS, radius=50.0)
-    pts = jnp.asarray(np.stack([ds[i]["points"] for i in range(BATCH)]))
-    labels = jnp.asarray(np.stack([ds[i]["sem_labels"] for i in range(BATCH)]))
-    valid = jnp.ones(pts.shape[:2], bool)
+    # Distinct host-side scans so double buffering is honest (no cached
+    # device array reuse).
+    n_inputs = 4
+    ds = SyntheticLidarDataset(
+        num_scans=BATCH * n_inputs, points_per_scan=POINTS, radius=50.0
+    )
+    host_inputs = [
+        np.stack([ds[j * BATCH + i]["points"] for i in range(BATCH)])
+        for j in range(n_inputs)
+    ]
 
-    model = MinkUNet34(in_channels=1, out_channels=7, compute_dtype=jnp.bfloat16)
-    if os.environ.get("LIDOG_TPU_ENGINE", "zseg") == "zseg":
-        from lidog_tpu.core.zseg import ZSegPlanBuilder
+    model = MinkUNet34(in_channels=1, out_channels=7,
+                       compute_dtype=jnp.bfloat16)
+    # init variables once through a throwaway plan at the Predictor's caps
+    from lidog_tpu.cli.common import make_zcaps
+    from lidog_tpu.core.zseg import ZSegPlanBuilder
 
-        builder = jax.jit(ZSegPlanBuilder(
-            ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024,
-            caps_col_dil=ZCAPS_D,
-        ))
-    else:
-        builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
-    batch0 = device_batch_from_points(pts, valid, labels, VOXEL, CAP_IN)
-    plan0 = builder(batch0["coords"], batch0["mask"])
-    x0 = input_tensor(plan0, batch0["feats"])
-    variables = model.init(jax.random.PRNGKey(0), x0, plan0, train=False)
-
-    fwd = jax.jit(
-        lambda v, f, pl: jnp.argmax(
-            model.apply(v, input_tensor(pl, f), pl, train=False), axis=-1
-        )
+    caps_r, caps_a, caps_d = make_zcaps(98_304)
+    builder = jax.jit(ZSegPlanBuilder(
+        caps_r, caps_a, num_batches=BATCH, grid_half=1024,
+        caps_col_dil=caps_d,
+    ))
+    pts0 = jnp.asarray(host_inputs[0])
+    valid0 = jnp.ones(pts0.shape[:2], bool)
+    b0 = device_batch_from_points(
+        pts0, valid0, jnp.zeros(pts0.shape[:2], jnp.int32), VOXEL,
+        98_304 * BATCH,
+    )
+    plan0 = builder(b0["coords"], b0["mask"])
+    variables = model.init(
+        jax.random.PRNGKey(0), input_tensor(plan0, b0["feats"]), plan0,
+        train=False,
     )
 
-    def infer(points, valid, labels):
-        b = device_batch_from_points(points, valid, labels, VOXEL, CAP_IN)
-        plan = builder(b["coords"], b["mask"])
-        return fwd(variables, b["feats"], plan)
+    pred = Predictor(model, variables, batch_size=BATCH, voxel_size=VOXEL)
 
-    preds = infer(pts, valid, labels)
-    _ = int(preds[0])
+    # Warm / compile.
+    labels = pred(host_inputs[0])
+    _ = int(labels[0, 0])
+    assert pred.overflow is not None and int(pred.overflow.sum()) == 0, (
+        f"serve caps overflowed: {pred.overflow}"
+    )
+
+    # Double-buffered loop: device_put input k+1 (async), run input k,
+    # block only on the PREVIOUS result.
+    dev_inputs = [jax.device_put(x) for x in host_inputs[:2]]
+    prev = None
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        preds = infer(pts, valid, labels)
-    _ = int(preds[0])
+    for k in range(STEPS):
+        nxt = host_inputs[(k + 1) % n_inputs]
+        cur = dev_inputs[k % 2]
+        dev_inputs[(k + 1) % 2] = jax.device_put(nxt)  # overlaps compute
+        out = pred(cur)
+        if prev is not None:
+            prev.block_until_ready()
+        prev = out
+    prev.block_until_ready()
     dt = (time.perf_counter() - t0) / STEPS
+
     print(
         json.dumps(
             {
-                "metric": "infer_latency_ms_per_scan",
+                "metric": "serve_latency_ms_per_scan",
                 "value": round(dt * 1000 / BATCH, 1),
-                "unit": (f"ms (voxelize+plan+fwd argmax, 100k pts, bf16, "
-                         f"batch {BATCH})"),
+                "unit": (
+                    f"ms (Predictor: voxelize+plan+fwd+per-point labels, "
+                    f"100k pts, bf16, batch {BATCH}, double-buffered input)"
+                ),
                 "vs_baseline": None,
             }
         )

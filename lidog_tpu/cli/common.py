@@ -76,12 +76,6 @@ def make_plan_builder(config, batch_size: int,
             f"(<= {BEV_HBM_SAFE_PER_SCAN}); set LIDOG_TPU_CAPS_PER_SCAN or "
             "expect device OOM."
         )
-    if engine == "zseg" and config.model.in_channels != 1:
-        print(
-            "[warn] zseg engine supports the occupancy stem only "
-            "(in_channels == 1); falling back to the gather engine."
-        )
-        engine = "gather"
     if engine == "zseg":
         from lidog_tpu.core.zseg import ZSegPlanBuilder
 
@@ -91,6 +85,10 @@ def make_plan_builder(config, batch_size: int,
         builder = ZSegPlanBuilder(
             caps_r, caps_a, num_batches=batch_size, grid_half=gh,
             caps_col_dil=caps_d,
+            # in_channels > 1: the stem needs source-row feature maps
+            # instead of the constant-feature occupancy matrix
+            # (core.zseg.stem_feat125_packed / ops.zconv_full).
+            stem_feature_map=config.model.in_channels != 1,
         )
     else:
         from lidog_tpu.core.plan_bitgrid import BitPlanBuilder

@@ -309,12 +309,17 @@ def _assemble_aug(real16, col_bxy, col_valid, grid_d,
 
 
 def _build_packed(real16, aug16, col_bxy, col_valid, num_batches: int,
-                  ccap: int, cap_a: int, r: int):
+                  ccap: int, cap_a: int, r: int, aug_r: int = 1):
     """The per-DILATED-slot y-neighborhood table — built by PURE SHIFTS.
 
     Row layout ((2r+1)*14 real slabs only when r >= 0):
       [ real words of (gy-r..gy+r) | (aug words + LOCAL start) of
-        (gy-1..gy+1) ]  padded to a multiple of 8 ints.
+        (gy-aug_r..gy+aug_r) ]  padded to a multiple of 8 ints.
+    aug_r defaults to 1 (the conv9 sweep needs aug ranks only at
+    |dy| <= 1); the feature-stem sweep (stem_feat125_packed) passes
+    aug_r = r so ranks resolve across the full 5x5 xy window.  aug_r <= r
+    is required — the consecutive-slot lemma below relies on the dilation
+    radius covering the shift distance.
     LOCAL start = global start - b*cap_a, so sweep bodies running inside
     the per-batch lax.map need no further adjustment.
 
@@ -337,10 +342,11 @@ def _build_packed(real16, aug16, col_bxy, col_valid, num_batches: int,
             out = _shift_up(out, adj) if dy > 0 else _shift_dn(out, adj)
         return out
 
+    assert aug_r <= max(r, 1), "aug shifts must stay within the dilation"
     slabs = []
     for dy in range(-r, r + 1):
         slabs.append(at_dy(m_real, dy))
-    for dy in (-1, 0, 1):
+    for dy in range(-aug_r, aug_r + 1):
         slabs.append(at_dy(m_aug, dy))
     packed = jnp.concatenate(slabs, axis=1)
     w = packed.shape[1]
@@ -461,6 +467,97 @@ def stem_conv9_packed(cid_grid, packed, coords, valid, g: int, ccap: int,
     seg = (jnp.arange(nb, dtype=jnp.int32) * cap_a)[:, None, None]
     conv9 = jnp.where(c9 >= 0, c9 + seg, -1)
     return occ, conv9.transpose(1, 0, 2).reshape(9, n)
+
+
+@partial(jax.jit, static_argnames=("g", "ccap", "cap_a", "r", "nb"))
+def stem_feat125_packed(cid_grid, packed, coords, valid, g: int, ccap: int,
+                        cap_a: int, r: int, nb: int, grid_half: int = 0,
+                        level: int = 0):
+    """Feature-stem sweep: SOURCE-row maps for the full (2r+1)^3 window.
+
+    The occupancy stem (stem_conv9_packed) answers "is neighbor o
+    occupied" — enough when input features are constant 1 (every shipped
+    config).  For in_channels > 1 the stem needs the neighbor's feature
+    ROW, so this sweep resolves the augmented-table POSITION of every
+    (dx, dy, dz) source instead of its bit.  Gather SOURCES need no ghost
+    guarantee: a missing source row is -1 and contributes zero, exactly
+    ME's behavior for absent neighbors (the ghost lemma only constrains
+    gather TARGETS, ops/zconv.py).
+
+    Requires the packed table built with aug_r = r (aug word+start slabs
+    for dy = -r..r).  Per (dx, dy) column: one rank at bz plus 2r
+    single-bit reads resolve all 2r+1 z positions —
+    rank(bz+d) = rank(bz) + sum(bits in [bz, bz+d)), and symmetrically
+    below.  Returns (nbr [(2r+1)^3, N] GLOBAL rows, conv9 [9, N]) in the
+    plan's lexicographic (dx, dy, dz) enumeration (dz fastest), matching
+    the gather engine's stem weight layout so parameters interchange.
+    """
+    n = coords.shape[0]
+    cap_q = n // nb
+    w = min(GRID_ROW_W, g)
+    shift = int(np.log2(w))
+    gh = grid_half
+    gx0 = (coords[:, 1] >> level) + (gh >> level)
+    gy0 = (coords[:, 2] >> level) + (gh >> level)
+    bz0 = (coords[:, 3] >> level) + ZC
+    aug_off = (2 * r + 1) * ZWORDS
+    zmax = ZWORDS * 32
+
+    grid_s = cid_grid.reshape(nb, (g * g) // w, w)
+    base = jnp.arange(nb, dtype=jnp.int32) * ccap
+    grid_s = jnp.where(grid_s >= 0, grid_s - base[:, None, None], -1)
+    packed_s = packed.reshape(nb, ccap, packed.shape[1])
+
+    def per_b(args):
+        gb, pb, gx_b, gy_b, bz_b, ok_b = args
+        nbrs = []
+        c9 = []
+        bzc = jnp.clip(bz_b, 0, zmax - 1)
+        for dx in range(-r, r + 1):
+            gxn = gx_b + dx
+            okc = ok_b & (gxn >= 0) & (gxn < g)
+            flat = jnp.where(okc, gxn * g + gy_b, 0)
+            rows_id = gb[flat >> shift]
+            el = (flat & (w - 1))[:, None]
+            sel = jax.lax.broadcasted_iota(jnp.int32, rows_id.shape, 1) == el
+            cid = jnp.sum(jnp.where(sel, rows_id, 0), axis=-1)
+            hit = okc & (cid >= 0) & (cid < ccap)
+            row = pb[jnp.clip(cid, 0, ccap - 1)]
+            for dyi in range(2 * r + 1):
+                off = aug_off + (ZWORDS + 1) * dyi
+                wrds = row[:, off:off + ZWORDS].astype(jnp.uint32)
+                startv = row[:, off + ZWORDS]
+                rank0, ex0 = _rank_from_row(wrds, bzc)
+                bit = {0: ex0.astype(jnp.int32)}
+                for d in range(1, r + 1):
+                    bit[d] = _bit_at(wrds, jnp.clip(bz_b + d, 0, zmax - 1))
+                    bit[-d] = _bit_at(wrds, jnp.clip(bz_b - d, 0, zmax - 1))
+                rank = {0: rank0}
+                for d in range(1, r + 1):
+                    rank[d] = rank[d - 1] + bit[d - 1]
+                    rank[-d] = rank[-(d - 1)] - bit[-d]
+                for dz in range(-r, r + 1):
+                    bzd = bz_b + dz
+                    okz = hit & (bzd >= 0) & (bzd < zmax) & (bit[dz] == 1)
+                    idx = startv + rank[dz]
+                    nbrs.append(
+                        jnp.where(okz & (idx >= 0) & (idx < cap_a), idx, -1)
+                    )
+                    if abs(dx) <= 1 and abs(dyi - r) <= 1 and dz == 0:
+                        c9.append(nbrs[-1])
+        return jnp.stack(nbrs, axis=0), jnp.stack(c9, axis=0)
+
+    nbr_s, c9_s = jax.lax.map(per_b, (
+        grid_s, packed_s,
+        gx0.reshape(nb, cap_q), gy0.reshape(nb, cap_q),
+        bz0.reshape(nb, cap_q), valid.reshape(nb, cap_q),
+    ))
+    seg = (jnp.arange(nb, dtype=jnp.int32) * cap_a)[:, None, None]
+    nbr = jnp.where(nbr_s >= 0, nbr_s + seg, -1)
+    conv9 = jnp.where(c9_s >= 0, c9_s + seg, -1)
+    k3 = (2 * r + 1) ** 3
+    return (nbr.transpose(1, 0, 2).reshape(k3, n),
+            conv9.transpose(1, 0, 2).reshape(9, n))
 
 
 @partial(jax.jit, static_argnames=("g", "ccap", "cap_a", "nb"))
@@ -614,6 +711,7 @@ class ZSegPlanBuilder:
         stem_kernel: int = 5,
         caps_col: Tuple[int, ...] = None,
         caps_col_dil: Tuple[int, ...] = None,
+        stem_feature_map: bool = False,
     ):
         assert len(caps_real) == NUM_LEVELS and len(caps_aug) == NUM_LEVELS
         self.caps_real = tuple(int(c) for c in caps_real)
@@ -621,6 +719,10 @@ class ZSegPlanBuilder:
         self.num_batches = num_batches
         self.grid_half = grid_half
         self.stem_kernel = stem_kernel
+        # in_channels > 1: emit source-row maps for the full stem window
+        # (kmaps["stem125"]) instead of the constant-feature occupancy
+        # matrix — see stem_feat125_packed.
+        self.stem_feature_map = stem_feature_map
         # per-scan COLUMN capacities; columns never outnumber real voxels,
         # so caps_real is always a safe default (measured ring scans:
         # ~0.65/0.6/0.75 columns per real voxel at L0/1/2+)
@@ -801,13 +903,24 @@ class ZSegPlanBuilder:
 
             if i == 0:
                 r = self.stem_kernel // 2
-                packedL = _build_packed(
-                    real16, aug16, col_bxy, col_valid, B, ccap_d, capA, r,
-                )
-                kmaps["stem_occ"], kmaps["conv9_l0"] = stem_conv9_packed(
-                    grid_d, packedL, coords_a, valid_a, g, ccap_d, capA, r,
-                    B, grid_half=gh, level=0,
-                )
+                if self.stem_feature_map:
+                    packedL = _build_packed(
+                        real16, aug16, col_bxy, col_valid, B, ccap_d, capA,
+                        r, aug_r=r,
+                    )
+                    kmaps["stem125"], kmaps["conv9_l0"] = stem_feat125_packed(
+                        grid_d, packedL, coords_a, valid_a, g, ccap_d, capA,
+                        r, B, grid_half=gh, level=0,
+                    )
+                else:
+                    packedL = _build_packed(
+                        real16, aug16, col_bxy, col_valid, B, ccap_d, capA,
+                        r,
+                    )
+                    kmaps["stem_occ"], kmaps["conv9_l0"] = stem_conv9_packed(
+                        grid_d, packedL, coords_a, valid_a, g, ccap_d, capA,
+                        r, B, grid_half=gh, level=0,
+                    )
                 pos_in = jnp.where(mask, pos3[1], -1)
             else:
                 packedL = _build_packed(

@@ -282,7 +282,21 @@ _REGISTRY = {
 
 def get_loss(name: str, **kwargs):
     """Name -> loss object (the trainers' `init_losses` resolution,
-    e.g. utils/pipelines/trainer_lighting.py init)."""
+    e.g. utils/pipelines/trainer_lighting.py init).
+
+    Normalizes the ignore-parameter name: callers pass either
+    ``ignore_label`` or ``ignore_index`` (the reference's losses use both
+    spellings, utils/losses/losses.py:8-53), and each loss class here
+    declares whichever one it actually consumes.  Any kwarg the target
+    class doesn't declare is dropped, matching the reference's per-loss
+    constructor signatures.
+    """
     if name not in _REGISTRY:
         raise NotImplementedError(f"unknown loss {name!r}")
-    return _REGISTRY[name](**kwargs)
+    cls = _REGISTRY[name]
+    fields = {f.name for f in dataclasses.fields(cls)}
+    for a, b in (("ignore_label", "ignore_index"), ("ignore_index", "ignore_label")):
+        if a in kwargs and a not in fields and b in fields and b not in kwargs:
+            kwargs[b] = kwargs.pop(a)
+    kwargs = {k: v for k, v in kwargs.items() if k in fields}
+    return cls(**kwargs)

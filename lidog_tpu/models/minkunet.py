@@ -31,7 +31,7 @@ from lidog_tpu.core.sparse import SparseTensor, cat
 from lidog_tpu.core.zseg import ZPlan
 from lidog_tpu.ops.norm import MaskedBatchNorm, MaskedInstanceNorm
 from lidog_tpu.ops.sparse_conv import sparse_conv, sparse_conv_1x1
-from lidog_tpu.ops.zconv import zconv3, zconv_down, zconv_up
+from lidog_tpu.ops.zconv import zconv3, zconv_down, zconv_full, zconv_up
 
 
 def kernel_init(key, shape, dtype=jnp.float32):
@@ -53,6 +53,26 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: SparseTensor, plan: UNetPlan) -> SparseTensor:
+        if self.kmap == "stem" and "stem125" in plan.kmaps:
+            # General-feature stem on the zseg engine (in_channels > 1):
+            # K-offset gather-GEMM over SOURCE-row maps (ops.zconv_full;
+            # plan: core.zseg.stem_feat125_packed).  Same param shape and
+            # offset enumeration as the occupancy stem and the gather
+            # engine, so checkpoints interchange.
+            nbr = plan.kmaps["stem125"]
+            w = self.param(
+                "kernel", kernel_init,
+                (nbr.shape[0], x.num_channels, self.out_channels),
+            )
+            out_l = plan.level(self.out_level)
+            feats = zconv_full(
+                x.feats, nbr, w.astype(x.feats.dtype), out_mask=out_l.mask,
+                num_batches=plan.num_batches,
+            )
+            return SparseTensor(
+                coords=out_l.coords, feats=feats, mask=out_l.mask,
+                stride=out_l.stride,
+            )
         if self.kmap == "stem" and "stem_occ" in plan.kmaps:
             # Occupancy-stem specialization (constant-1 input features):
             # out = occupancy[N, K] @ W[K, 1, C] — one MXU matmul, no map.

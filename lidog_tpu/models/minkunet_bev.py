@@ -105,6 +105,7 @@ class MinkUNet34BEV(nn.Module):
                     n_classes=self.out_channels,
                     binary_seg=self.binary_seg,
                     axis_name=self.axis_name,
+                    compute_dtype=self.compute_dtype,
                     name=f"encoder2d_{lvl_name}",
                 )(bev, train)
                 if self.binary_seg:

@@ -286,6 +286,101 @@ def zconv3(x, nbr9, zup, zdn, weights, *, out_mask=None,
 
 
 # ---------------------------------------------------------------------------
+# Generic symmetric K-offset conv (the in_channels > 1 stem).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _zfull_core(x, nbr, accum_dtype, unroll, nb, w):
+    """out[i] = sum_o x[nbr[o, i]] @ w[o] — plain gather-GEMM over a
+    SYMMETRIC odd-hypercube offset map on one coordinate set (source
+    rows; misses contribute zero).  Same loop shape as _zconv3_core:
+    segments-outer, stacked gathers, one batched contraction."""
+    na, cin = x.shape
+    cout = w.shape[2]
+    cap = na // nb
+    xs, nbrs = _split_segs(nb, [(x, cap, "rows"), (nbr, cap, "map")])
+
+    def per_b(args):
+        xb, ib = args
+
+        def body(_, i):
+            return None, _local_gather(xb, i, cap)
+
+        _, gk = jax.lax.scan(body, None, ib, unroll=unroll)  # [K, cap, Cin]
+        return jnp.einsum(
+            "dnc,dck->nk", gk, w.astype(xb.dtype),
+            preferred_element_type=accum_dtype,
+        ).astype(xb.dtype)
+
+    out = jax.lax.map(per_b, (xs, nbrs))
+    return out.reshape(na, cout)
+
+
+def _zfull_fwd(x, nbr, accum_dtype, unroll, nb, w):
+    out = _zfull_core(x, nbr, accum_dtype, unroll, nb, w)
+    return out, (x, nbr, w)
+
+
+def _zfull_bwd(accum_dtype, unroll, nb, res, dout):
+    """Transpose-reuse on the symmetric map (offset o's gather transpose
+    is offset K-1-o): one dout gather pass feeds both dx and dW, no
+    scatters (same derivation as _zconv3_bwd minus the z-cat fold)."""
+    x, nbr, w = res
+    na, cin = x.shape
+    cap = na // nb
+    wt = jnp.transpose(w[::-1], (0, 2, 1)).astype(x.dtype)  # [K, Cout, Cin]
+    dout = dout.astype(x.dtype)
+    xs, nbrs, dos = _split_segs(
+        nb, [(x, cap, "rows"), (nbr, cap, "map"), (dout, cap, "rows")]
+    )
+
+    def per_b(args):
+        xb, ib, db = args
+
+        def body(_, i):
+            return None, _local_gather(db, i, cap)
+
+        _, gk = jax.lax.scan(body, None, ib, unroll=unroll)  # [K, cap, Cout]
+        dx = jnp.einsum(
+            "dnk,dkc->nc", gk, wt, preferred_element_type=accum_dtype
+        ).astype(xb.dtype)
+        dw_rev = jnp.einsum(
+            "nc,dnk->dck", xb, gk, preferred_element_type=jnp.float32
+        )  # entry e holds dW[K-1-e]
+        return dx, dw_rev
+
+    dx_s, dw_s = jax.lax.map(per_b, (xs, nbrs, dos))
+    dx = dx_s.reshape(na, cin)
+    dw = jnp.sum(dw_s, axis=0)[::-1].astype(w.dtype)
+    return dx, np.zeros(nbr.shape, jax.dtypes.float0), dw
+
+
+_zfull_core.defvjp(_zfull_fwd, _zfull_bwd)
+
+
+def zconv_full(x, nbr, weights, *, out_mask=None, accum_dtype=jnp.float32,
+               unroll: int = 3, num_batches: int = 1):
+    """K-offset symmetric sparse conv via source-row maps (the general
+    in_channels stem; K = 125 for the k=5 hypercube).
+
+    x: [Na, Cin] features on the augmented level.  nbr: [K, Na] int32 —
+    row of (coord + offset_o) or -1.  weights: [K, Cin, Cout] in the
+    plan's lexicographic (dx, dy, dz) enumeration (dz fastest) — the same
+    layout as the gather engine's stem, so parameters interchange.
+    Matches ME.MinkowskiConvolution's generic in_channels path
+    (reference utils/models/minkunet.py:26-27).
+    """
+    k = weights.shape[0]
+    assert nbr.shape[0] == k, (nbr.shape, weights.shape)
+    assert k % 2 == 1, "symmetric odd-hypercube maps only (transpose-reuse)"
+    out = _zfull_core(x, nbr, accum_dtype, unroll, num_batches, weights)
+    if out_mask is not None:
+        out = out * out_mask[:, None].astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Strided pair: down (k=2 s=2) and its transpose (up).
 # ---------------------------------------------------------------------------
 

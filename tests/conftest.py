@@ -26,6 +26,77 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Auto-chunking: a single long-lived pytest process segfaults the XLA:CPU
+# compiler once it has accumulated ~120 compiled programs alongside torch
+# (upstream bug; every test passes standalone).  scripts/run_tests.sh used to
+# be the documented workaround; this hook makes the NAIVE invocation
+# (`python -m pytest tests/ -q`) survive by re-running the suite as a few
+# bounded subprocesses and short-circuiting the parent session.
+# ---------------------------------------------------------------------------
+
+_CHUNK_ENV = "LIDOG_TPU_TEST_CHUNKED"
+_CHUNK_MAX_FILES = 12
+
+
+def _whole_suite_requested(args):
+    """True when the invocation targets a directory (tests/ or the repo),
+    i.e. the naive run that needs chunking.  Single-file / single-nodeid
+    invocations (including run_isolated subprocesses) pass through."""
+    paths = [a for a in args if a and not a.startswith("-")]
+    if not paths:
+        return True  # bare `pytest` from the repo root
+    return any(os.path.isdir(p.split("::")[0]) for p in paths)
+
+
+def pytest_cmdline_main(config):
+    if os.environ.get(_CHUNK_ENV) == "1":
+        return None  # already inside a chunk subprocess
+    inv = list(config.invocation_params.args)
+    if not _whole_suite_requested(inv):
+        return None
+
+    import glob
+    import math
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "test_*.py")))
+    if not files:
+        return None
+    n_chunks = max(2, math.ceil(len(files) / _CHUNK_MAX_FILES))
+    per = math.ceil(len(files) / n_chunks)
+    chunks = [files[i : i + per] for i in range(0, len(files), per)]
+
+    # Keep every option token; drop only positional path args (they are
+    # replaced by the explicit chunk file lists).  Option VALUES like
+    # `-m "not slow"` are not existing paths, so they survive.
+    opts = [
+        a
+        for a in inv
+        if a.startswith("-") or not os.path.exists(a.split("::")[0])
+    ]
+
+    env = {**os.environ, _CHUNK_ENV: "1"}
+    rc_total = 0
+    for i, chunk in enumerate(chunks):
+        sys.stderr.write(
+            f"\n[conftest] chunk {i + 1}/{len(chunks)} "
+            f"({len(chunk)} files, fresh process)\n"
+        )
+        sys.stderr.flush()
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", *chunk, *opts],
+            env=env,
+            cwd=os.path.dirname(here),
+        )
+        if r.returncode not in (0, 5):  # 5 = nothing collected (e.g. -m)
+            rc_total = r.returncode
+            if "-x" in opts or "--exitfirst" in opts:
+                break
+    return rc_total
+
 
 @pytest.fixture
 def rng():
