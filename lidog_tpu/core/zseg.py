@@ -98,8 +98,23 @@ class ZPlan:
 
 
 def _cumsum_excl_axis1(x2d):
-    cs = jnp.cumsum(x2d, axis=1)
-    return cs - x2d
+    """Exclusive cumsum along axis 1, chunked for long rows.
+
+    At L0 the has-grid row is g*g = 4.2M elements — one monolithic
+    lax.cumsum that long sits near the XLA long-scan cliff (see
+    bitgrid._cumsum_flat).  Rows longer than 64k split into 2048-element
+    chunks: per-chunk cumsum + a short carry cumsum, all VPU work."""
+    b, n = x2d.shape
+    chunk = 2048
+    if n <= 65536 or n % chunk != 0:
+        cs = jnp.cumsum(x2d, axis=1)
+        return cs - x2d
+    x3 = x2d.reshape(b, n // chunk, chunk)
+    cs = jnp.cumsum(x3, axis=2)
+    tot = cs[..., -1]
+    carry = jnp.cumsum(tot, axis=1) - tot
+    incl = cs + carry[..., None]
+    return (incl - x3).reshape(b, n)
 
 
 GRID_ROW_W = 128  # 512 B id-grid rows: measured fast-tier sweet spot
@@ -613,9 +628,14 @@ def conv9_packed(cid_grid, packed48, coords, valid, g: int, ccap: int,
 @partial(jax.jit, static_argnames=("g", "ccap", "cap_a", "nb", "grid_half",
                                    "level"))
 def pos3_lookup(cid_grid, aug16, coords, valid, g: int, ccap: int,
-                cap_a: int, nb: int, grid_half: int, level: int):
+                cap_a: int, nb: int, grid_half: int, level: int,
+                cid=None):
     """Own-column (z-s, z, z+s) aug positions per query row, GLOBAL path
-    (queries in any order).  Returns [3, n] int32 (-1 miss)."""
+    (queries in any order).  Returns [3, n] int32 (-1 miss).
+
+    cid: optional precomputed column id per query (the builder already
+    looked the same cells up for the dilated-slot stamping — passing it
+    saves one full wide-row gather pass per level)."""
     gh = grid_half
     bq = coords[:, 0]
     gx0 = (coords[:, 1] >> level) + (gh >> level)
@@ -624,9 +644,12 @@ def pos3_lookup(cid_grid, aug16, coords, valid, g: int, ccap: int,
     ok = (
         valid & (gx0 >= 0) & (gx0 < g) & (gy0 >= 0) & (gy0 < g)
     )
-    cid = _grid_lookup(cid_grid, jnp.where(ok, bq, 0),
-                       jnp.clip(gx0, 0, g - 1), jnp.clip(gy0, 0, g - 1),
-                       ok, g, nb)
+    if cid is None:
+        cid = _grid_lookup(cid_grid, jnp.where(ok, bq, 0),
+                           jnp.clip(gx0, 0, g - 1), jnp.clip(gy0, 0, g - 1),
+                           ok, g, nb)
+    else:
+        cid = jnp.where(ok, cid, -1)
     hit = cid >= 0
     row = _rows_or_miss(aug16, cid)
     words = row[:, :ZWORDS].astype(jnp.uint32)
@@ -868,10 +891,11 @@ class ZSegPlanBuilder:
                 + vox_drop + col_over_d
             )
 
-            # one own-column fetch resolves aug slots of (z-s, z, z+s)
+            # one own-column fetch resolves aug slots of (z-s, z, z+s);
+            # vox_cid reuses the stamping pass's grid lookup (same cells)
             pos3 = pos3_lookup(
                 grid_d, aug16, src_coords, src_valid, g, ccap_d, capA, B,
-                gh, i,
+                gh, i, cid=vox_cid,
             )
             # Scatter ONE packed int32 per candidate instead of an [n, 4]
             # coord row.  Layout: gxgy<<9 | bz (cell coords at this level;
