@@ -79,11 +79,12 @@ def _diagnostics_line(err):
     traceback.print_exc(file=sys.stderr)
 
 
-def _init_backend_with_retries(max_tries=4, backoffs=(60, 120, 240)):
+def _init_backend_with_retries(max_tries=2, backoffs=(60,)):
     """The axon TPU tunnel in this image sometimes takes many minutes to come
-    up or fails transiently at init (BENCH_r03 died here).  Retry with
-    bounded backoff; each attempt itself can block for a long time inside
-    jax.devices(), so the total budget is dominated by the attempts."""
+    up or fails transiently at init (BENCH_r03 died here; round-4 probes
+    measured a single failing attempt at ~25 min).  Two attempts with a
+    short backoff: enough to ride out a transient, while still reaching
+    the diagnostics JSON line within a driver capture window."""
     import importlib
 
     last = None

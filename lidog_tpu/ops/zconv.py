@@ -170,10 +170,16 @@ def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb):
     na, cin = x.shape
     cout = wf.shape[2]
     cap = na // nb
+    # The CENTER xy offset (index 4) always gathers the row ITSELF (own
+    # column at own z resolves to the query row for every real/ghost row;
+    # pad rows have zero xc so the identity term is zero there too) — so
+    # 8 gathers + one direct add replace 9 gathers: an exact 1/9 cut of
+    # the conv's descriptor wall.
+    off8 = [d for d in range(9) if d != 4]
     xs, zus, zds, nbrs = _split_segs(
         nb,
         [(x, cap, "rows"), (zup, cap, "flag"), (zdn, cap, "flag"),
-         (nbr, cap, "map")],
+         (nbr[np.asarray(off8)], cap, "map")],
     )
 
     def per_b(args):
@@ -187,8 +193,12 @@ def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb):
             i, u = xs_
             return None, _local_gather(u, i, cap)
 
-        _, g9 = jax.lax.scan(body, None, (ib, u9), unroll=unroll)
-        return jnp.sum(g9.astype(accum_dtype), axis=0).astype(xb.dtype)
+        _, g8 = jax.lax.scan(body, None, (ib, u9[jnp.asarray(off8)]),
+                             unroll=unroll)
+        return (
+            jnp.sum(g8.astype(accum_dtype), axis=0)
+            + u9[4].astype(accum_dtype)
+        ).astype(xb.dtype)
 
     out = jax.lax.map(per_b, (xs, zus, zds, nbrs))
     return out.reshape(na, cout)
@@ -216,11 +226,15 @@ def _zconv3_bwd(accum_dtype, unroll, nb, res, dout):
     cap = na // nb
     wt = jnp.transpose(wf[::-1], (0, 2, 1))  # [9, Cout, 3Cin]
     dout = dout.astype(x.dtype)
+    # Center identity (see _zconv3_core): g9[4] == dout, so the center's
+    # dxc/dW terms are direct contractions — 8 gathers instead of 9.
+    off8 = [d for d in range(9) if d != 4]
     xs, zus, zds, nbrs, dos = _split_segs(
         nb,
         [(x, cap, "rows"), (zup, cap, "flag"), (zdn, cap, "flag"),
-         (nbr, cap, "map"), (dout, cap, "rows")],
+         (nbr[np.asarray(off8)], cap, "map"), (dout, cap, "rows")],
     )
+    wt8 = wt[jnp.asarray(off8)]
 
     def per_b(args):
         xb, zu, zd, ib, db = args
@@ -229,23 +243,35 @@ def _zconv3_bwd(accum_dtype, unroll, nb, res, dout):
         def body(_, i):
             return None, _local_gather(db, i, cap)
 
-        _, g9 = jax.lax.scan(body, None, ib, unroll=unroll)  # [9, cap, Cout]
+        _, g8 = jax.lax.scan(body, None, ib, unroll=unroll)  # [8, cap, Cout]
         # Batched contractions instead of a 9-step f32 [cap, 3Cin]
         # accumulator (profiled HBM killer).  bf16 inputs with f32
         # preferred_element_type accumulate exactly on the MXU — no f32
         # materialization of xc.
-        dxc = jnp.einsum(
-            "dnk,dkc->nc", g9, wt, preferred_element_type=accum_dtype
+        dxc = (
+            jnp.einsum("dnk,dkc->nc", g8, wt8,
+                       preferred_element_type=accum_dtype)
+            + jnp.einsum("nk,kc->nc", db, wt[4],
+                         preferred_element_type=accum_dtype)
         )
-        dw_rev = jnp.einsum(
-            "nc,dnk->dck", xc, g9, preferred_element_type=jnp.float32
-        )  # [9, 3Cin, Cout], entry e holds dW[8-e]
+        dw8_rev = jnp.einsum(
+            "nc,dnk->dck", xc, g8, preferred_element_type=jnp.float32
+        )  # [8, 3Cin, Cout], entry j holds dW[8 - off8[j]]
+        dw4 = jnp.einsum(
+            "nc,nk->ck", xc, db, preferred_element_type=jnp.float32
+        )
         dx = _zcat_t(dxc.astype(xb.dtype), zu, zd)
-        return dx, dw_rev
+        return dx, dw8_rev, dw4
 
-    dx_s, dw_s = jax.lax.map(per_b, (xs, zus, zds, nbrs, dos))
+    dx_s, dw8_s, dw4_s = jax.lax.map(per_b, (xs, zus, zds, nbrs, dos))
     dx = dx_s.reshape(na, cin)
-    dwf = jnp.sum(dw_s, axis=0)[::-1].astype(wf.dtype)
+    dw8 = jnp.sum(dw8_s, axis=0)
+    dw4 = jnp.sum(dw4_s, axis=0)
+    # Reassemble [9, 3Cin, Cout]: entry j of dw8 holds dW[8 - off8[j]],
+    # center holds dW[4] (4 == 8 - 4, self-paired).
+    dwf = jnp.concatenate(
+        [dw8[::-1][:4], dw4[None], dw8[::-1][4:]], axis=0
+    ).astype(wf.dtype)
     return (
         dx,
         np.zeros(nbr.shape, jax.dtypes.float0),

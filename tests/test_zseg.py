@@ -424,3 +424,22 @@ def test_starved_dilated_caps_degrade_safely():
         # conv9 entries stay in-range (or -1)
         nbr9 = np.asarray(plan.kmaps[f"conv9_l{lvl}"])
         assert ((nbr9 == -1) | ((nbr9 >= 0) & (nbr9 < B * capA))).all()
+
+
+def test_cumsum_excl_axis1_chunked():
+    """The chunked long-row path must equal the naive exclusive cumsum
+    (L0 has-grid rows are g*g = 4.2M elements; rows > 64k chunk)."""
+    import jax.numpy as jnp
+
+    from lidog_tpu.core.zseg import _cumsum_excl_axis1
+
+    rng = np.random.RandomState(0)
+    # long path: n = 128k (multiple of 2048)
+    x = rng.randint(0, 3, (2, 131072)).astype(np.int32)
+    got = np.asarray(_cumsum_excl_axis1(jnp.asarray(x)))
+    want = np.cumsum(x, axis=1) - x
+    np.testing.assert_array_equal(got, want)
+    # short path unchanged
+    xs = rng.randint(0, 3, (3, 1000)).astype(np.int32)
+    got_s = np.asarray(_cumsum_excl_axis1(jnp.asarray(xs)))
+    np.testing.assert_array_equal(got_s, np.cumsum(xs, axis=1) - xs)
