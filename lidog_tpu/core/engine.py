@@ -1,7 +1,7 @@
 """Engine dispatch: one call surface over the two kernel-map engines.
 
 Two plan families coexist:
-  * UNetPlan (core.plan / plan_staged / plan_bitgrid) — round-2 pooled
+  * UNetPlan (core.plan / plan_bitgrid) — round-2 pooled
     gather-GEMM engine (27-tap maps, `perm` canonicalization);
   * ZPlan (core.zseg) — round-3 segmented z-fused engine (9-tap maps,
     ghost-augmented levels, scatter canonicalization).

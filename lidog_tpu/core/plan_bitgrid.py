@@ -1,6 +1,6 @@
 """Bitgrid plan builder — UNetPlan from two-level z-bitmask column tables.
 
-Same output contract as core.plan.build_unet_plan / plan_staged, built with
+Same output contract as core.plan.build_unet_plan, built with
 zero sorts and zero searches (see core.bitgrid): canonicalization is a
 rank-scatter, the level pyramid is dense bit-compression, and every kernel
 map is one concatenated small-footprint gather pair (col_id -> compact

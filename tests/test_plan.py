@@ -129,25 +129,6 @@ def test_plan_overflow_counter(rng):
     assert int(np.asarray(p.overflow)[1]) > 0
 
 
-def test_staged_builder_matches_fused(rng):
-    from lidog_tpu.core.plan_staged import StagedPlanBuilder
-
-    coords, mask = _make_batched_coords(rng)
-    fused = plan_lib.build_unet_plan(jnp.asarray(coords), jnp.asarray(mask), CAPS)
-    staged = StagedPlanBuilder(CAPS)(jnp.asarray(coords), jnp.asarray(mask))
-    assert np.array_equal(np.asarray(fused.perm), np.asarray(staged.perm))
-    for i in range(5):
-        assert np.array_equal(
-            np.asarray(fused.level(i).coords), np.asarray(staged.level(i).coords)
-        ), f"level {i}"
-        assert np.array_equal(
-            np.asarray(fused.level(i).mask), np.asarray(staged.level(i).mask)
-        )
-    for k in fused.kmaps:
-        assert np.array_equal(
-            np.asarray(fused.kmaps[k]), np.asarray(staged.kmaps[k])
-        ), k
-    assert np.array_equal(np.asarray(fused.overflow), np.asarray(staged.overflow))
 
 
 def test_bitgrid_builder_matches_fused(rng):
