@@ -76,12 +76,14 @@ def main():
 
     pred = Predictor(model, variables, batch_size=BATCH, voxel_size=VOXEL)
 
-    # Warm / compile.
-    labels = pred(host_inputs[0])
-    _ = int(labels[0, 0])
-    assert pred.overflow is not None and int(pred.overflow.sum()) == 0, (
-        f"serve caps overflowed: {pred.overflow}"
-    )
+    # Warm / compile — and check caps against EVERY distinct input the
+    # timed loop will cycle through (voxel counts vary by seed).
+    for j, hx in enumerate(host_inputs):
+        labels = pred(hx)
+        _ = int(labels[0, 0])
+        assert pred.overflow is not None and int(pred.overflow.sum()) == 0, (
+            f"serve caps overflowed on input {j}: {pred.overflow}"
+        )
 
     # Double-buffered loop: device_put input k+1 (async), run input k,
     # block only on the PREVIOUS result.

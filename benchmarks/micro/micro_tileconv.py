@@ -184,10 +184,7 @@ def _build_tiles(coords_np, tshape):
     """Host-side tile structure from per-scan level-grid coords."""
     tx, ty, tz = tshape
     vol = tx * ty * tz
-    all_tiles = []
     in_tile = []
-    row_tile_cell = []
-    t_base = 0
     tile_index = {}
     tile_list = []
     for b, c in enumerate(coords_np):

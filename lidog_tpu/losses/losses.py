@@ -287,16 +287,19 @@ def get_loss(name: str, **kwargs):
     Normalizes the ignore-parameter name: callers pass either
     ``ignore_label`` or ``ignore_index`` (the reference's losses use both
     spellings, utils/losses/losses.py:8-53), and each loss class here
-    declares whichever one it actually consumes.  Any kwarg the target
-    class doesn't declare is dropped, matching the reference's per-loss
-    constructor signatures.
+    declares whichever one it actually consumes.  An ignore kwarg the
+    class declares under NEITHER spelling is dropped (IW/IRW take no
+    ignore parameter, matching the reference's constructors); any other
+    unknown kwarg still raises, so misconfigurations surface at startup.
     """
     if name not in _REGISTRY:
         raise NotImplementedError(f"unknown loss {name!r}")
     cls = _REGISTRY[name]
     fields = {f.name for f in dataclasses.fields(cls)}
     for a, b in (("ignore_label", "ignore_index"), ("ignore_index", "ignore_label")):
-        if a in kwargs and a not in fields and b in fields and b not in kwargs:
-            kwargs[b] = kwargs.pop(a)
-    kwargs = {k: v for k, v in kwargs.items() if k in fields}
+        if a in kwargs and a not in fields:
+            if b in fields and b not in kwargs:
+                kwargs[b] = kwargs.pop(a)
+            else:
+                kwargs.pop(a)
     return cls(**kwargs)

@@ -69,17 +69,30 @@ def pytest_cmdline_main(config):
     per = math.ceil(len(files) / n_chunks)
     chunks = [files[i : i + per] for i in range(0, len(files), per)]
 
-    # Keep every option token; drop only positional path args (they are
-    # replaced by the explicit chunk file lists).  Option VALUES like
-    # `-m "not slow"` are not existing paths, so they survive.
-    opts = [
-        a
-        for a in inv
-        if a.startswith("-") or not os.path.exists(a.split("::")[0])
-    ]
+    # Keep every option token AND the value of any value-taking option
+    # (e.g. `--ignore tests/x.py` — the value LOOKS like a positional
+    # path but must survive); drop only true positional path args (they
+    # are replaced by the explicit chunk file lists).
+    value_opts = {
+        "-m", "-k", "-c", "-o", "-p", "-W", "--ignore", "--deselect",
+        "--rootdir", "--confcutdir", "--junitxml", "--basetemp",
+        "--ignore-glob", "--override-ini", "--lf-paths",
+    }
+    opts = []
+    take_value = False
+    for a in inv:
+        if take_value:
+            opts.append(a)
+            take_value = False
+        elif a.startswith("-"):
+            opts.append(a)
+            take_value = a in value_opts and "=" not in a
+        elif not os.path.exists(a.split("::")[0]):
+            opts.append(a)  # non-path positional (defensive)
 
     env = {**os.environ, _CHUNK_ENV: "1"}
     rc_total = 0
+    collected_any = False
     for i, chunk in enumerate(chunks):
         sys.stderr.write(
             f"\n[conftest] chunk {i + 1}/{len(chunks)} "
@@ -91,10 +104,14 @@ def pytest_cmdline_main(config):
             env=env,
             cwd=os.path.dirname(here),
         )
-        if r.returncode not in (0, 5):  # 5 = nothing collected (e.g. -m)
+        if r.returncode == 0:
+            collected_any = True
+        elif r.returncode != 5:  # 5 = nothing collected in this chunk
             rc_total = r.returncode
             if "-x" in opts or "--exitfirst" in opts:
                 break
+    if rc_total == 0 and not collected_any:
+        rc_total = 5  # every chunk collected nothing — match vanilla pytest
     return rc_total
 
 
