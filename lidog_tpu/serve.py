@@ -87,6 +87,50 @@ class Predictor:
         self._fn = jax.jit(pipeline)
         self._variables = variables
 
+    @classmethod
+    def from_checkpoint(
+        cls,
+        path: str,
+        in_channels: int = 1,
+        out_channels: int = 7,
+        compute_dtype=jnp.bfloat16,
+        me_x_fastest: bool = True,
+        **kwargs,
+    ) -> "Predictor":
+        """Deployment convenience: build a warm Predictor straight from a
+        checkpoint — either an orbax epoch dir written by the Trainer
+        (train/checkpoint.py) or a released Lightning ``.ckpt`` (torch;
+        converted via utils.torch_import, the reference's eval entry
+        eval_target.py:169-174).  kwargs forward to the constructor
+        (batch_size, voxel_size, caps_per_scan, ...)."""
+        from lidog_tpu.models import MinkUNet34
+
+        model = MinkUNet34(
+            in_channels=in_channels, out_channels=out_channels,
+            compute_dtype=compute_dtype,
+        )
+        if path.endswith(".ckpt"):
+            from lidog_tpu.utils.torch_import import load_reference_checkpoint
+
+            params, stats = load_reference_checkpoint(
+                path, me_x_fastest=me_x_fastest
+            )
+            variables = {"params": params, "batch_stats": stats}
+        else:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.PyTreeCheckpointer().restore(path)
+            # Trainer checkpoints store a TrainState tree; accept either
+            # that or a bare variables dict.
+            if "params" in restored:
+                variables = {
+                    "params": restored["params"],
+                    "batch_stats": restored.get("batch_stats", {}),
+                }
+            else:
+                variables = restored
+        return cls(model, variables, **kwargs)
+
     def __call__(self, points, valid=None):
         """points [B, P, 3] float32 (numpy or jax); returns [B, P] int32
         per-point class ids (-1 where the point was dropped/invalid)."""
