@@ -130,17 +130,48 @@ def main():
     # the generic 300-600 ns/elem figure for huge sorts
     rows.append(("voxelize (measured)", 0, 2 * CAP_IN, 0, 0, 45e-3))
 
+    # ---- LiDOG extras (flagship step = plain step + BEV branch) ----
+    # block8 tap (level 0, C=96) -> fused pooled scatter-max into
+    # [B, 666, 666, 96] (4 candidate passes), Encoder2D (96->256 s2,
+    # 256->256 s2, 1x1 head), image Dice on [B, 167^2, 7].
+    c_bev, hw = 96, 666
+    n0 = na[0]
+    # fwd scatter: 4 row-updates/voxel + zero-init & out sweep of the grid
+    add("bev scatter fwd", scatters=4 * n0,
+        bytes_=2 * BATCH * hw * hw * c_bev * 2)
+    # chunked custom-VJP backward: per candidate, gather out + dout rows
+    # (round-3 6ff32da; the stock VJP's 680 MB-operand gathers cost 293 ms)
+    add("bev scatter bwd", gathers=2 * 4 * n0,
+        bytes_=2 * BATCH * hw * hw * c_bev * 2)
+    f2d = 0
+    h1, h2 = 333, 167
+    f2d += 2 * BATCH * h1 * h1 * 9 * 96 * 256   # down1.conv0
+    f2d += 2 * BATCH * h2 * h2 * 9 * 256 * 256  # down1.conv1
+    f2d += 2 * BATCH * h2 * h2 * 256 * 7        # out_conv
+    by2d = 2 * BATCH * (h1 * h1 + h2 * h2) * 256 * 2 * 3  # BN/ReLU sweeps
+    add("encoder2d fwd+bwd (bf16)", flops=3 * f2d, bytes_=2 * by2d)
+    add("bev dice loss", bytes_=4 * BATCH * h2 * h2 * 7 * 4)
+
     print(f"{'phase':26s} {'Mgather':>8s} {'Mscatter':>9s} "
           f"{'GFLOP':>7s} {'GB':>6s} {'ms':>7s}")
-    tot = 0.0
+    tot = lidog_extra = 0.0
     for ph, gg, ss, ff, bb, tt in rows:
-        tot += tt
+        if ph.startswith(("bev ", "encoder2d")):
+            lidog_extra += tt
+        else:
+            tot += tt
         print(f"{ph:26s} {gg/1e6:8.1f} {ss/1e6:9.1f} "
               f"{ff/1e9:7.0f} {bb/1e9:6.2f} {tt*1e3:7.1f}")
-    print(f"{'TOTAL (no overlap)':26s} {'':8s} {'':9s} {'':7s} {'':6s} "
+    print(f"{'TOTAL plain (no overlap)':26s} {'':8s} {'':9s} {'':7s} {'':6s} "
           f"{tot*1e3:7.1f}")
-    print(f"projected scans/s: {BATCH/tot:.2f}  "
-          f"(round-3 measured: 4.81 at 9-gather conv + unshared lookups)")
+    print(f"{'TOTAL lidog (no overlap)':26s} {'':8s} {'':9s} {'':7s} {'':6s} "
+          f"{(tot+lidog_extra)*1e3:7.1f}")
+    print(f"projected scans/s: plain {BATCH/tot:.2f}, lidog "
+          f"{BATCH/(tot+lidog_extra):.2f} (ratio "
+          f"{tot/(tot+lidog_extra):.2f}; round-3 measured 3.45/4.81=0.72 "
+          f"predates the chunked scatter bwd + bf16 heads)")
+    print(f"  (round-3 measured plain: 4.81 at 9-gather conv + unshared "
+          f"lookups)")
     print("NB: the plan row underprices the VPU-side rank/bit math and "
           "one-hot selects (round-3 measured plan: 231 ms); treat deltas, "
           "not absolutes, as the signal.")
