@@ -44,6 +44,17 @@ ZCAPS_A = (122_880, 77_824, 25_600, 10_752, 4_352)
 ZCAPS_D = (196_608, 93_184, 54_272, 23_552, 9_728)
 STEPS = 10
 
+# LIDOG_TPU_BENCH_SMOKE=1: tiny shapes on XLA:CPU — validates this exact
+# script path end-to-end before spending the one-shot TPU measurement
+# window on it (a stale cap constant once NameError'd a chain script).
+SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
+if SMOKE:
+    BATCH, POINTS, STEPS = 2, 2_000, 1
+    CAPS = (16_384, 8_192, 8_192, 8_192, 8_192)
+    ZCAPS_R = (4_096, 4_096, 4_096, 4_096, 4_096)
+    ZCAPS_A = (8_192, 6_144, 6_144, 6_144, 6_144)
+    ZCAPS_D = (12_288, 12_288, 12_288, 12_288, 12_288)
+
 
 _T0 = time.time()
 _PHASE = {"name": "start"}
@@ -122,10 +133,17 @@ def _init_backend_with_retries(max_tries=2, backoffs=(60,)):
 
 def main():
     _phase("backend_init")
-    jax = _init_backend_with_retries()
+    if SMOKE:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax = _init_backend_with_retries()
 
     # Compiles through the axon tunnel cost ~20 s each; cache them across runs.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache_cpu" if SMOKE else
+                      "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np

@@ -24,12 +24,29 @@ BATCH = int(os.environ.get("LIDOG_TPU_INFER_BATCH", "1"))
 POINTS = 100_000
 VOXEL = 0.05
 STEPS = 20
+PER_SCAN = 98_304
+
+# Tiny-shape XLA:CPU validation of this exact script path (see bench.py).
+# Explicit caps: make_zcaps' shrink profile assumes 100k-pt scans whose
+# coarse levels shrink; 2k sparse points stay ~distinct at every level.
+SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
+SMOKE_CAPS = (
+    (4_096, 4_096, 4_096, 4_096, 4_096),
+    (8_192, 6_144, 6_144, 6_144, 6_144),
+    (12_288, 12_288, 12_288, 12_288, 12_288),
+)
+if SMOKE:
+    POINTS, STEPS, PER_SCAN = 2_000, 2, 4_096
 
 
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache_cpu" if SMOKE else
+                      "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
@@ -57,7 +74,7 @@ def main():
     from lidog_tpu.cli.common import make_zcaps
     from lidog_tpu.core.zseg import ZSegPlanBuilder
 
-    caps_r, caps_a, caps_d = make_zcaps(98_304)
+    caps_r, caps_a, caps_d = SMOKE_CAPS if SMOKE else make_zcaps(PER_SCAN)
     builder = jax.jit(ZSegPlanBuilder(
         caps_r, caps_a, num_batches=BATCH, grid_half=1024,
         caps_col_dil=caps_d,
@@ -66,7 +83,7 @@ def main():
     valid0 = jnp.ones(pts0.shape[:2], bool)
     b0 = device_batch_from_points(
         pts0, valid0, jnp.zeros(pts0.shape[:2], jnp.int32), VOXEL,
-        98_304 * BATCH,
+        PER_SCAN * BATCH,
     )
     plan0 = builder(b0["coords"], b0["mask"])
     variables = model.init(
@@ -74,7 +91,9 @@ def main():
         train=False,
     )
 
-    pred = Predictor(model, variables, batch_size=BATCH, voxel_size=VOXEL)
+    pred = Predictor(model, variables, batch_size=BATCH, voxel_size=VOXEL,
+                     caps_per_scan=PER_SCAN,
+                     caps=SMOKE_CAPS if SMOKE else None)
 
     # Warm / compile — and check caps against EVERY distinct input the
     # timed loop will cycle through (voxel counts vary by seed).

@@ -34,11 +34,25 @@ ZCAPS_A = (122_880, 77_824, 25_600, 10_752, 4_352)
 ZCAPS_D = (196_608, 93_184, 54_272, 23_552, 9_728)
 STEPS = 10
 
+# Tiny-shape XLA:CPU validation of this exact script path (see bench.py).
+# bound 10 m: the production 2000^2 BEV raster aborts the XLA:CPU compiler.
+SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
+if SMOKE:
+    BATCH, POINTS, STEPS, BOUND = 2, 2_000, 1, 10.0
+    CAPS = (16_384, 8_192, 8_192, 8_192, 8_192)
+    ZCAPS_R = (4_096, 4_096, 4_096, 4_096, 4_096)
+    ZCAPS_A = (8_192, 6_144, 6_144, 6_144, 6_144)
+    ZCAPS_D = (12_288, 12_288, 12_288, 12_288, 12_288)
+
 
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache_cpu" if SMOKE else
+                      "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
@@ -48,10 +62,11 @@ def main():
     from lidog_tpu.data.bev import collate_bev, preprocess_scan_bev
     from lidog_tpu.data.synthetic import SyntheticLidarDataset
     from lidog_tpu.losses import DICELoss, SoftDICELoss
-    from lidog_tpu.models.minkunet_bev import MinkUNet34BEV
+    from lidog_tpu.models.minkunet_bev import MinkUNet34BEV, bev_head_size
     from lidog_tpu.train import TrainState, make_optimizer
     from lidog_tpu.train.lidog_step import make_lidog_train_step
 
+    head = bev_head_size(BOUND, VOXEL) if SMOKE else 167
     ds = SyntheticLidarDataset(
         num_scans=BATCH, points_per_scan=POINTS, radius=BOUND, seed=0
     )
@@ -59,7 +74,7 @@ def main():
         preprocess_scan_bev(
             ds[i]["points"], ds[i]["sem_labels"], voxel_size=VOXEL,
             bound_2d=BOUND, sub_p=1.0, augmentations=None, train=False,
-            bev_img_sizes={"block8": 167},
+            bev_img_sizes={"block8": head},
         )
         for i in range(BATCH)
     ]

@@ -5,6 +5,7 @@ Forces each phase with a tiny device-side readback (axon tunnel: plain
 block_until_ready under-reports).
 """
 
+import os
 import sys
 import time
 
@@ -16,11 +17,21 @@ VOXEL = 0.05
 RADIUS = 50.0
 CAPS = (393_216, 196_608, 98_304, 32_768, 12_288)
 
+# Tiny-shape XLA:CPU validation of this exact script path (see bench.py).
+SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
+if SMOKE:
+    BATCH, POINTS = 2, 2_000
+    CAPS = (16_384, 8_192, 8_192, 8_192, 8_192)
+
 
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache_cpu" if SMOKE else
+                      "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np

@@ -3,6 +3,7 @@ voxelize | zseg plan | model fwd | model fwd+bwd+adam, vs the same phases
 on the round-2 gather engine.  Isolates where the full-model step spends
 time (micro_zseg.py shows per-conv wins; this shows the composition)."""
 
+import os
 import sys
 import time
 
@@ -14,13 +15,27 @@ VOXEL = 0.05
 CAPS = (393_216, 196_608, 98_304, 32_768, 12_288)
 ZCAPS_R = (92_160, 61_440, 22_528, 9_216, 3_584)
 ZCAPS_A = (139_264, 86_016, 26_624, 10_752, 4_608)
+ZCAPS_D = (196_608, 93_184, 54_272, 23_552, 9_728)
 ITERS = 5
+
+# Tiny-shape XLA:CPU validation of this exact script path (see bench.py).
+SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
+if SMOKE:
+    BATCH, POINTS, ITERS = 2, 2_000, 1
+    CAPS = (16_384, 8_192, 8_192, 8_192, 8_192)
+    ZCAPS_R = (4_096, 4_096, 4_096, 4_096, 4_096)
+    ZCAPS_A = (8_192, 6_144, 6_144, 6_144, 6_144)
+    ZCAPS_D = (12_288, 12_288, 12_288, 12_288, 12_288)
 
 
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache_cpu" if SMOKE else
+                      "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
