@@ -46,14 +46,16 @@ STEPS = 10
 
 # LIDOG_TPU_BENCH_SMOKE=1: tiny shapes on XLA:CPU — validates this exact
 # script path end-to-end before spending the one-shot TPU measurement
-# window on it (a stale cap constant once NameError'd a chain script).
-SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
+# window on it (shared constants: benchmarks/_smoke.py).
+from benchmarks import _smoke
+
+SMOKE = _smoke.SMOKE
 if SMOKE:
-    BATCH, POINTS, STEPS = 2, 2_000, 1
-    CAPS = (16_384, 8_192, 8_192, 8_192, 8_192)
-    ZCAPS_R = (4_096, 4_096, 4_096, 4_096, 4_096)
-    ZCAPS_A = (8_192, 6_144, 6_144, 6_144, 6_144)
-    ZCAPS_D = (12_288, 12_288, 12_288, 12_288, 12_288)
+    BATCH, POINTS, STEPS = _smoke.BATCH, _smoke.POINTS, _smoke.STEPS
+    CAPS = _smoke.CAPS
+    ZCAPS_R, ZCAPS_A, ZCAPS_D = (
+        _smoke.ZCAPS_R, _smoke.ZCAPS_A, _smoke.ZCAPS_D,
+    )
 
 
 _T0 = time.time()
@@ -135,16 +137,9 @@ def main():
     _phase("backend_init")
     if SMOKE:
         import jax
-
-        jax.config.update("jax_platforms", "cpu")
     else:
         jax = _init_backend_with_retries()
-
-    # Compiles through the axon tunnel cost ~20 s each; cache them across runs.
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache_cpu" if SMOKE else
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _smoke.configure_jax(jax)
     import jax.numpy as jnp
     import numpy as np
 

@@ -26,28 +26,20 @@ VOXEL = 0.05
 STEPS = 20
 PER_SCAN = 98_304
 
-# Tiny-shape XLA:CPU validation of this exact script path (see bench.py).
-# Explicit caps: make_zcaps' shrink profile assumes 100k-pt scans whose
-# coarse levels shrink; 2k sparse points stay ~distinct at every level.
-SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
-SMOKE_CAPS = (
-    (4_096, 4_096, 4_096, 4_096, 4_096),
-    (8_192, 6_144, 6_144, 6_144, 6_144),
-    (12_288, 12_288, 12_288, 12_288, 12_288),
-)
+# Tiny-shape XLA:CPU validation of this exact script path (shared
+# constants: benchmarks/_smoke.py).
+from benchmarks import _smoke
+
+SMOKE = _smoke.SMOKE
+SMOKE_CAPS = (_smoke.ZCAPS_R, _smoke.ZCAPS_A, _smoke.ZCAPS_D)
 if SMOKE:
-    POINTS, STEPS, PER_SCAN = 2_000, 2, 4_096
+    POINTS, STEPS, PER_SCAN = _smoke.POINTS, 2, 4_096
 
 
 def main():
     import jax
 
-    if SMOKE:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache_cpu" if SMOKE else
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _smoke.configure_jax(jax)
     import jax.numpy as jnp
     import numpy as np
 

@@ -34,26 +34,25 @@ ZCAPS_A = (122_880, 77_824, 25_600, 10_752, 4_352)
 ZCAPS_D = (196_608, 93_184, 54_272, 23_552, 9_728)
 STEPS = 10
 
-# Tiny-shape XLA:CPU validation of this exact script path (see bench.py).
-# bound 10 m: the production 2000^2 BEV raster aborts the XLA:CPU compiler.
-SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
+# Tiny-shape XLA:CPU validation of this exact script path (see
+# benchmarks/_smoke.py).  bound 10 m: the production 2000^2 BEV raster
+# aborts the XLA:CPU compiler.
+from benchmarks import _smoke
+
+SMOKE = _smoke.SMOKE
 if SMOKE:
-    BATCH, POINTS, STEPS, BOUND = 2, 2_000, 1, 10.0
-    CAPS = (16_384, 8_192, 8_192, 8_192, 8_192)
-    ZCAPS_R = (4_096, 4_096, 4_096, 4_096, 4_096)
-    ZCAPS_A = (8_192, 6_144, 6_144, 6_144, 6_144)
-    ZCAPS_D = (12_288, 12_288, 12_288, 12_288, 12_288)
+    BATCH, POINTS, STEPS = _smoke.BATCH, _smoke.POINTS, _smoke.STEPS
+    BOUND = 10.0
+    CAPS = _smoke.CAPS
+    ZCAPS_R, ZCAPS_A, ZCAPS_D = (
+        _smoke.ZCAPS_R, _smoke.ZCAPS_A, _smoke.ZCAPS_D,
+    )
 
 
 def main():
     import jax
 
-    if SMOKE:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache_cpu" if SMOKE else
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _smoke.configure_jax(jax)
     import jax.numpy as jnp
     import numpy as np
 

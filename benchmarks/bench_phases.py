@@ -5,7 +5,6 @@ Forces each phase with a tiny device-side readback (axon tunnel: plain
 block_until_ready under-reports).
 """
 
-import os
 import sys
 import time
 
@@ -17,22 +16,20 @@ VOXEL = 0.05
 RADIUS = 50.0
 CAPS = (393_216, 196_608, 98_304, 32_768, 12_288)
 
-# Tiny-shape XLA:CPU validation of this exact script path (see bench.py).
-SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
+# Tiny-shape XLA:CPU validation of this exact script path (shared
+# constants: benchmarks/_smoke.py).
+from benchmarks import _smoke
+
+SMOKE = _smoke.SMOKE
 if SMOKE:
-    BATCH, POINTS = 2, 2_000
-    CAPS = (16_384, 8_192, 8_192, 8_192, 8_192)
+    BATCH, POINTS = _smoke.BATCH, _smoke.POINTS
+    CAPS = _smoke.CAPS
 
 
 def main():
     import jax
 
-    if SMOKE:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache_cpu" if SMOKE else
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _smoke.configure_jax(jax)
     import jax.numpy as jnp
     import numpy as np
 
@@ -72,7 +69,7 @@ def main():
     state, m = inner(state, batch, plan)
     _ = f(m["loss"])
 
-    ITERS = 10
+    ITERS = 1 if SMOKE else 10
 
     def timed(label, fn, force_fn=None):
         """fn() dispatches async work; force_fn() (or fn's return) is fetched

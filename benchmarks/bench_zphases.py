@@ -3,7 +3,6 @@ voxelize | zseg plan | model fwd | model fwd+bwd+adam, vs the same phases
 on the round-2 gather engine.  Isolates where the full-model step spends
 time (micro_zseg.py shows per-conv wins; this shows the composition)."""
 
-import os
 import sys
 import time
 
@@ -18,25 +17,23 @@ ZCAPS_A = (139_264, 86_016, 26_624, 10_752, 4_608)
 ZCAPS_D = (196_608, 93_184, 54_272, 23_552, 9_728)
 ITERS = 5
 
-# Tiny-shape XLA:CPU validation of this exact script path (see bench.py).
-SMOKE = os.environ.get("LIDOG_TPU_BENCH_SMOKE") == "1"
+# Tiny-shape XLA:CPU validation of this exact script path (shared
+# constants: benchmarks/_smoke.py).
+from benchmarks import _smoke
+
+SMOKE = _smoke.SMOKE
 if SMOKE:
-    BATCH, POINTS, ITERS = 2, 2_000, 1
-    CAPS = (16_384, 8_192, 8_192, 8_192, 8_192)
-    ZCAPS_R = (4_096, 4_096, 4_096, 4_096, 4_096)
-    ZCAPS_A = (8_192, 6_144, 6_144, 6_144, 6_144)
-    ZCAPS_D = (12_288, 12_288, 12_288, 12_288, 12_288)
+    BATCH, POINTS, ITERS = _smoke.BATCH, _smoke.POINTS, _smoke.STEPS
+    CAPS = _smoke.CAPS
+    ZCAPS_R, ZCAPS_A, ZCAPS_D = (
+        _smoke.ZCAPS_R, _smoke.ZCAPS_A, _smoke.ZCAPS_D,
+    )
 
 
 def main():
     import jax
 
-    if SMOKE:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache_cpu" if SMOKE else
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _smoke.configure_jax(jax)
     import jax.numpy as jnp
     import numpy as np
 

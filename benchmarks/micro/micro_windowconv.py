@@ -83,10 +83,9 @@ def window_prep(nbr9, n, w_mid, w_side):
     reduce + broadcast subtract) — negligible next to the plan's existing
     sweeps.  Escaped rows (span > W) become -1 (counted; an exact engine
     would route them to a tiny XLA fallback gather pass)."""
-    nt = -(-n // TILE)
-    pad = nt * TILE - n
-    nbr = np.concatenate([nbr9, np.full((9, pad), -1, np.int32)], 1)
-    tiles = nbr.reshape(9, nt, TILE)
+    assert n % TILE == 0, "whole output tiles only (callers truncate/pad)"
+    nt = n // TILE
+    tiles = nbr9.reshape(9, nt, TILE)
     ws = np.zeros((nt, 3), np.int32)
     lidx = np.full((nt, 9, TILE), -1, np.int32)
     escapes = 0
@@ -117,6 +116,11 @@ def make_windowed(n, c, w_mid, w_side, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # contract shared with window_prep: whole tiles, and the input must be
+    # at least one window tall (the kernel DMAs w rows unconditionally —
+    # a shorter xc would read out of bounds)
+    assert n % TILE == 0, "whole output tiles only"
+    assert n >= max(w_mid, w_side), "input shorter than a DMA window"
     c3 = 3 * c
     nt = n // TILE
 

@@ -118,6 +118,12 @@ def export_encoder2d(
     oc = f"encoders2d.{level}.out_conv.conv"
     sd[oc + ".weight"] = _inv_conv2d(params["out_conv"]["kernel"])
     sd[oc + ".bias"] = np.asarray(params["out_conv"]["bias"], np.float32)
+    if "binary_out_conv" in params:  # binary_segmentation_layer heads
+        bc = f"encoders2d.{level}.binary_out_conv.conv"
+        sd[bc + ".weight"] = _inv_conv2d(params["binary_out_conv"]["kernel"])
+        sd[bc + ".bias"] = np.asarray(
+            params["binary_out_conv"]["bias"], np.float32
+        )
     return {prefix + k: v for k, v in sd.items()}
 
 

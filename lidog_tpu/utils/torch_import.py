@@ -141,6 +141,12 @@ def import_encoder2d(state_dict, level: str = "block8", prefix: str = "model."):
         "kernel": _conv2d(sd, oc + ".weight"),
         "bias": np.asarray(sd[oc + ".bias"], np.float32),
     }
+    bc = f"encoders2d.{level}.binary_out_conv.conv"
+    if bc + ".weight" in sd:  # binary_segmentation_layer heads
+        params["binary_out_conv"] = {
+            "kernel": _conv2d(sd, bc + ".weight"),
+            "bias": np.asarray(sd[bc + ".bias"], np.float32),
+        }
     return params, stats
 
 
@@ -158,7 +164,7 @@ def load_reference_checkpoint(path: str, model_name: str = "MinkUNet34",
     stats = {"backbone": backbone_s}
     if model_name == "MinkUNet34BEV":
         levels = sorted(
-            {k.split(".")[1] for k in sd if k.startswith("model.encoders2d.")}
+            {k.split(".")[2] for k in sd if k.startswith("model.encoders2d.")}
         )
         for lvl in levels:
             p, s = import_encoder2d(sd, lvl)

@@ -43,8 +43,13 @@ def test_export_roundtrips_encoder2d(rng):
     oc = "model.encoders2d.block8.out_conv.conv"
     sd[oc + ".weight"] = rng.randn(7, 256, 1, 1).astype(np.float32)
     sd[oc + ".bias"] = rng.randn(7).astype(np.float32)
+    # binary_segmentation_layer head (reference conv2d.py:186-188)
+    bc = "model.encoders2d.block8.binary_out_conv.conv"
+    sd[bc + ".weight"] = rng.randn(2, 256, 1, 1).astype(np.float32)
+    sd[bc + ".bias"] = rng.randn(2).astype(np.float32)
 
     params, stats = import_encoder2d(sd, level="block8")
+    assert "binary_out_conv" in params
     out = export_encoder2d(params, stats, level="block8")
     extras = {k for k in out if k.endswith("num_batches_tracked")}
     assert set(out) - extras == set(sd)
@@ -69,8 +74,75 @@ def test_save_then_load_reference_checkpoint(rng, tmp_path):
     path = str(tmp_path / "exported.ckpt")
     save_reference_checkpoint(path, variables)
     params2, stats2 = load_reference_checkpoint(path)
-    for a, b in zip(
-        jax.tree_util.tree_leaves({"p": params, "s": stats}),
-        jax.tree_util.tree_leaves({"p": params2, "s": stats2}),
-    ):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # structural comparison (same tree, not just coincident leaf order):
+    # load_reference_checkpoint returns {'backbone': ...} trees
+    got = {"p": params2, "s": stats2}
+    want = {"p": {"backbone": params}, "s": {"backbone": stats}}
+    assert jax.tree_util.tree_structure(got) == jax.tree_util.tree_structure(
+        want
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        got, want,
+    )
+
+
+def test_save_then_load_bev_checkpoint(rng, tmp_path):
+    """BEV file round trip: the encoder2d level names must survive
+    load_reference_checkpoint's key parsing (regression: it once split
+    'model.encoders2d.block8...' at the wrong dot and produced a level
+    literally named 'encoders2d'), binary head included."""
+    import jax
+
+    from lidog_tpu.utils.torch_export import save_reference_checkpoint
+    from lidog_tpu.utils.torch_import import load_reference_checkpoint
+
+    sd = _fake_state_dict(rng)
+    params, stats = import_minkunet34(sd)
+    enc_p = {
+        "down1": {
+            "conv0": {"kernel": rng.randn(3, 3, 96, 256).astype(np.float32)},
+            "conv1": {"kernel": rng.randn(3, 3, 256, 256).astype(np.float32)},
+            "bn0": {"scale": rng.rand(256).astype(np.float32) + 0.5,
+                    "bias": rng.randn(256).astype(np.float32)},
+            "bn1": {"scale": rng.rand(256).astype(np.float32) + 0.5,
+                    "bias": rng.randn(256).astype(np.float32)},
+        },
+        "out_conv": {"kernel": rng.randn(1, 1, 256, 7).astype(np.float32),
+                     "bias": rng.randn(7).astype(np.float32)},
+        "binary_out_conv": {
+            "kernel": rng.randn(1, 1, 256, 2).astype(np.float32),
+            "bias": rng.randn(2).astype(np.float32),
+        },
+    }
+    enc_s = {
+        "down1": {
+            "bn0": {"mean": rng.randn(256).astype(np.float32),
+                    "var": rng.rand(256).astype(np.float32) + 0.5},
+            "bn1": {"mean": rng.randn(256).astype(np.float32),
+                    "var": rng.rand(256).astype(np.float32) + 0.5},
+        }
+    }
+    variables = {
+        "params": {"backbone": params, "encoder2d_block8": enc_p},
+        "batch_stats": {"backbone": stats, "encoder2d_block8": enc_s},
+    }
+    path = str(tmp_path / "exported_bev.ckpt")
+    save_reference_checkpoint(path, variables, model_name="MinkUNet34BEV")
+    params2, stats2 = load_reference_checkpoint(
+        path, model_name="MinkUNet34BEV"
+    )
+    assert set(params2) == {"backbone", "encoder2d_block8"}
+    got = {"p": params2, "s": stats2}
+    want = {"p": variables["params"], "s": variables["batch_stats"]}
+    assert jax.tree_util.tree_structure(got) == jax.tree_util.tree_structure(
+        want
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        got, want,
+    )

@@ -34,11 +34,14 @@ def test_windowed_conv_matches_zconv3(request):
     vox = np.unique(np.floor(pts / 0.3).astype(np.int64), axis=0)
     order = np.lexsort((vox[:, 2], vox[:, 1], vox[:, 0]))
     coords = vox[order].astype(np.int32)[: 4 * TILE]
+    # the helpers require whole tiles and n >= the largest DMA window
+    coords = coords[: (len(coords) // TILE) * TILE]
+    w_mid, w_side = 1024, 2048
+    assert len(coords) >= w_side, "fixture too sparse for the window size"
 
     n, c = len(coords), 32
     nbr9, zup, zdn = build_exact_conv9(coords)
     nbr9[nbr9 >= n] = -1
-    w_mid, w_side = 1024, 2048
     ws, lidx, escapes, _ = window_prep(nbr9, n, w_mid, w_side)
     assert escapes == 0
 
