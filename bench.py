@@ -167,16 +167,29 @@ def main():
     ) == "bfloat16" else jnp.float32
     model = MinkUNet34(in_channels=1, out_channels=7, compute_dtype=dtype)
     engine = os.environ.get("LIDOG_TPU_ENGINE", "zseg")
+    # LIDOG_TPU_SORTLESS=1: skip the voxelize lexsort/unique pass and feed
+    # raw per-point cells to the dedup-tolerant plan (zseg only;
+    # core/zseg.py assume_unique=False — measured lexsort cost ~45 ms/step)
+    sortless = os.environ.get("LIDOG_TPU_SORTLESS") == "1" and engine == "zseg"
     if engine == "zseg":
         from lidog_tpu.core.zseg import ZSegPlanBuilder
 
         builder = jax.jit(ZSegPlanBuilder(
             ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024,
-            caps_col_dil=ZCAPS_D,
+            caps_col_dil=ZCAPS_D, assume_unique=not sortless,
         ))
     else:
         builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
-    batch0 = device_batch_from_points(pts_d, valid_d, labels_d, VOXEL, CAPS[0])
+    if sortless:
+        from lidog_tpu.train.device_pipeline import device_batch_raw
+
+        def make_batch(points, valid, labels):
+            return device_batch_raw(points, valid, labels, VOXEL)
+    else:
+        def make_batch(points, valid, labels):
+            return device_batch_from_points(points, valid, labels, VOXEL,
+                                            CAPS[0])
+    batch0 = make_batch(pts_d, valid_d, labels_d)
     plan0 = builder(batch0["coords"], batch0["mask"])
     assert int(np.asarray(plan0.overflow).sum()) == 0, (
         f"bench caps overflowed: {np.asarray(plan0.overflow)}"
@@ -197,7 +210,7 @@ def main():
     # A single fully-fused graph also compiles (the bitgrid builder has no
     # sorts) but benches ~7% slower than the staged pipeline.
     def full_step(state, points, valid, labels):
-        batch = device_batch_from_points(points, valid, labels, VOXEL, CAPS[0])
+        batch = make_batch(points, valid, labels)
         plan = builder(batch["coords"], batch["mask"])
         return inner(state, batch, plan)
 

@@ -85,7 +85,8 @@ def main():
 
     pred = Predictor(model, variables, batch_size=BATCH, voxel_size=VOXEL,
                      caps_per_scan=PER_SCAN,
-                     caps=SMOKE_CAPS if SMOKE else None)
+                     caps=SMOKE_CAPS if SMOKE else None,
+                     sortless=os.environ.get("LIDOG_TPU_SORTLESS") == "1")
 
     # Warm / compile — and check caps against EVERY distinct input the
     # timed loop will cycle through (voxel counts vary by seed).

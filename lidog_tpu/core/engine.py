@@ -38,8 +38,20 @@ def canon_rows(plan, values, fill=0):
 
 
 def canon_labels(plan, labels):
-    """Labels in canonical layout + the rows-with-a-label validity mask."""
+    """Labels in canonical layout + the rows-with-a-label validity mask.
+
+    Sortless plans (plan.rep is not None) take per-POINT labels and pick
+    the representative row's label by gather — exactly voxelize_device's
+    first-in-canonical-order choice (min input index per voxel)."""
     if isinstance(plan, ZPlan):
+        if plan.rep is not None:
+            hit = plan.rep >= 0
+            lab = jnp.where(
+                hit & plan.level(0).real,
+                labels[jnp.maximum(plan.rep, 0)].astype(jnp.int32),
+                jnp.int32(-1),
+            )
+            return lab, plan.level(0).real & (lab >= 0)
         lab = plan.scatter_rows(labels.astype(jnp.int32), fill=jnp.int32(-1))
         return lab, plan.level(0).real & (lab >= 0)
     lab = labels[plan.perm]

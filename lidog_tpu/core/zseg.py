@@ -79,6 +79,11 @@ class ZPlan:
     pos: Any  # int32 [N_in]: input row -> level-0 augmented row (-1 drop)
     overflow: Any  # int32 [1 + NUM_LEVELS]: real level-0 rows dropped to
     # caps_real[0], then per-level augmented rows dropped to caps_aug[i]
+    # rep (sortless input only, else None): int32 [B*capA0] — the
+    # representative input row per level-0 row (the MINIMUM input index of
+    # the rows that landed there, matching voxelize_device's first-in-
+    # canonical-order pick exactly), -1 for ghost/pad rows.
+    rep: Any = None
     num_batches: int = flax.struct.field(pytree_node=False, default=1)
 
     def level(self, i: int) -> ZLevel:
@@ -735,6 +740,7 @@ class ZSegPlanBuilder:
         caps_col: Tuple[int, ...] = None,
         caps_col_dil: Tuple[int, ...] = None,
         stem_feature_map: bool = False,
+        assume_unique: bool = True,
     ):
         assert len(caps_real) == NUM_LEVELS and len(caps_aug) == NUM_LEVELS
         self.caps_real = tuple(int(c) for c in caps_real)
@@ -746,6 +752,16 @@ class ZSegPlanBuilder:
         # (kmaps["stem125"]) instead of the constant-feature occupancy
         # matrix — see stem_feat125_packed.
         self.stem_feature_map = stem_feature_map
+        # assume_unique=False: SORTLESS input — level-0 coords may contain
+        # duplicates (raw per-point voxel cells straight from a floor
+        # divide, no lexsort/unique pass).  Dedup falls out of the column
+        # tables: the has/cid grids and candidate scatters are idempotent
+        # already; only the L0 bit build switches to an idempotent per-z
+        # byte stamp (+ pack to words), and the plan additionally carries
+        # `rep` (min input row per level-0 row) so label/feature selection
+        # reproduces voxelize_device's first-in-canonical-order pick.
+        # Levels > 0 already tolerate duplicated parents.
+        self.assume_unique = assume_unique
         # per-scan COLUMN capacities; columns never outnumber real voxels,
         # so caps_real is always a safe default (measured ring scans:
         # ~0.65/0.6/0.75 columns per real voxel at L0/1/2+)
@@ -799,7 +815,7 @@ class ZSegPlanBuilder:
             gyc = jnp.clip(gy, 0, g - 1)
             bsafe = jnp.where(ok, b_, 0)
             key = (bsafe * g + gxc) * g + gyc
-            if i == 0:
+            if i == 0 and self.assume_unique:
                 # real-row accounting (overflow[0] contract: level-0 real
                 # voxels beyond caps_real[0] per scan)
                 nreal_b = (
@@ -841,7 +857,7 @@ class ZSegPlanBuilder:
             col_valid = col_bxy >= 0
             col_bxy = jnp.maximum(col_bxy, 0)
 
-            if i == 0:
+            if i == 0 and self.assume_unique:
                 # scatter-add voxel bits: unique (b,x,y,z) => add == OR
                 word = jnp.clip(bz >> 5, 0, ZWORDS - 1)
                 bit = jnp.where(
@@ -853,6 +869,33 @@ class ZSegPlanBuilder:
                     jnp.zeros((B * ccap_d + 1, 16), jnp.uint32)
                     .at[cslot, word].add(bit, mode="drop")[:B * ccap_d]
                 ).astype(jnp.int32)
+            elif i == 0:
+                # sortless (duplicate) input: idempotent per-z byte stamp,
+                # then pack 32 bytes -> word (bytes are 0/1: sum == OR)
+                cslot = jnp.where(ok & (vox_cid >= 0), vox_cid, B * ccap_d)
+                bzc = jnp.clip(bz, 0, ZWORDS * 32 - 1)
+                zbytes = (
+                    jnp.zeros((B * ccap_d + 1, ZWORDS * 32), jnp.int8)
+                    .at[cslot, bzc].set(1, mode="drop")[:B * ccap_d]
+                )
+                shifts = jnp.asarray(np.arange(32, dtype=np.int32))
+                words = jnp.sum(
+                    zbytes.reshape(B * ccap_d, ZWORDS, 32).astype(jnp.int32)
+                    << shifts,
+                    axis=-1,
+                )
+                real16 = jnp.concatenate(
+                    [words,
+                     jnp.zeros((B * ccap_d, 16 - ZWORDS), jnp.int32)],
+                    axis=1,
+                )
+                # overflow[0] contract on the DEDUPED voxel count
+                popc = jnp.sum(
+                    jax.lax.population_count(words.astype(jnp.uint32)),
+                    axis=-1,
+                ).astype(jnp.int32)
+                nreal_b = jnp.sum(popc.reshape(B, ccap_d), axis=1)
+                overflow.append(jnp.sum(jnp.maximum(nreal_b - capR0, 0)))
             else:
                 # coarse real words from the FINE table: 4 child column
                 # fetches + pairwise z OR (exactly the old 3D coarsen_bits
@@ -946,6 +989,21 @@ class ZSegPlanBuilder:
                         r, B, grid_half=gh, level=0,
                     )
                 pos_in = jnp.where(mask, pos3[1], -1)
+                if not self.assume_unique:
+                    # representative input row per level-0 row: the MIN
+                    # input index (voxelize_device's canonical-sort pick
+                    # is exactly min-original-index within each voxel)
+                    big = jnp.int32(2**31 - 1)
+                    pslot = jnp.where(pos_in >= 0, pos_in, B * capA)
+                    rep_in = (
+                        jnp.full((B * capA + 1,), big, jnp.int32)
+                        .at[pslot]
+                        .min(
+                            jnp.arange(pos_in.shape[0], dtype=jnp.int32),
+                            mode="drop",
+                        )[:B * capA]
+                    )
+                    rep_in = jnp.where(rep_in == big, -1, rep_in)
             else:
                 packedL = _build_packed(
                     real16, aug16, col_bxy, col_valid, B, ccap_d, capA, -1,
@@ -990,16 +1048,27 @@ class ZSegPlanBuilder:
             kmaps=kmaps,
             pos=pos_in,
             overflow=jnp.stack(overflow),
+            rep=None if self.assume_unique else rep_in,
             num_batches=B,
         )
 
 
 def input_tensor_z(plan: ZPlan, feats):
-    """Scatter caller-order features [N_in, C] into the level-0 augmented
-    layout (ghost/pad rows zero)."""
+    """Caller-order features [N_in, C] -> the level-0 augmented layout
+    (ghost/pad rows zero).
+
+    Unique input (plan.rep is None): one scatter via plan.pos.  Sortless
+    input: gather via plan.rep instead — duplicate positions would make
+    the scatter order-dependent, while the rep gather deterministically
+    picks the representative row's features (voxelize_device semantics).
+    """
     from lidog_tpu.core.sparse import SparseTensor
 
     l0 = plan.level(0)
-    f = plan.scatter_rows(feats)
+    if plan.rep is None:
+        f = plan.scatter_rows(feats)
+    else:
+        hit = plan.rep >= 0
+        f = feats[jnp.maximum(plan.rep, 0)] * hit[:, None].astype(feats.dtype)
     f = f * l0.real[:, None].astype(f.dtype)
     return SparseTensor(coords=l0.coords, feats=f, mask=l0.real, stride=1)

@@ -41,6 +41,7 @@ class Predictor:
         caps_per_scan: int = 98_304,
         grid_half: int = 1024,
         caps: Optional[Tuple[Tuple[int, ...], ...]] = None,
+        sortless: bool = False,
     ):
         from lidog_tpu.cli.common import make_zcaps
         from lidog_tpu.core.engine import input_tensor
@@ -53,7 +54,7 @@ class Predictor:
         caps_r, caps_a, caps_d = caps or make_zcaps(caps_per_scan)
         builder = ZSegPlanBuilder(
             caps_r, caps_a, num_batches=batch_size, grid_half=grid_half,
-            caps_col_dil=caps_d,
+            caps_col_dil=caps_d, assume_unique=not sortless,
         )
         self._overflow = None
 
@@ -61,6 +62,26 @@ class Predictor:
             b, p, _ = points.shape
             flat = points.reshape(b * p, 3)
             vflat = valid.reshape(b * p)
+            if sortless:
+                # no lexsort/unique pass: per-point voxel cells straight
+                # into the dedup-tolerant plan; plan.pos IS the per-point
+                # inverse map (core/zseg.py assume_unique=False)
+                disc = jnp.floor(flat / voxel_size).astype(jnp.int32)
+                bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+                coords = jnp.concatenate([bidx[:, None], disc], axis=1)
+                coords = jnp.where(vflat[:, None], coords, 0)
+                plan = builder(coords, vflat)
+                feats = vflat[:, None].astype(jnp.float32)
+                logits = model.apply(
+                    variables, input_tensor(plan, feats), plan, train=False
+                )
+                vox_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                vox_pred = jnp.where(plan.level(0).real, vox_pred, -1)
+                row_of_pt = plan.pos  # [b*p] point -> level-0 aug row
+                pt_pred = jnp.where(
+                    row_of_pt >= 0, vox_pred[jnp.maximum(row_of_pt, 0)], -1
+                )
+                return pt_pred.reshape(b, p), plan.overflow
             bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
             vox = voxelize_device(flat, vflat, bidx, voxel_size, cap_in)
             plan = builder(vox.coords, vox.mask)
