@@ -21,18 +21,22 @@ otherwise write the falsification numbers into docs/ROADMAP.md.
 Run: python benchmarks/micro/micro_tileconv.py  (real chip; ~2 min)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/benchmarks")
 
-BATCH = 4
-POINTS = 100_000
+from _smoke import SMOKE, configure_jax  # noqa: E402
+
+BATCH = 2 if SMOKE else 4
+POINTS = 2_000 if SMOKE else 100_000
 VOXEL = 0.05
 RADIUS = 50.0
-STEPS = 10
+STEPS = 1 if SMOKE else 10
 
 # (level, tile shape, Cin=Cout) candidates — the waste-optimal shapes from
 # micro_tiles.py plus one MXU-friendlier larger tile.
@@ -67,8 +71,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    configure_jax(jax)
 
     from lidog_tpu.data.synthetic import SyntheticLidarDataset
 
@@ -138,28 +141,43 @@ def main():
             jnp.bfloat16,
         )
 
+        # Chunk tiles so the [27, CH, vol, ch] halo gather fits HBM
+        # (whole-T assembly OOMed on chip: 27*212k*8*96 bf16 ~ 8.8 GB).
+        CH = 4096
+        nch = -(-T // CH)
+        t_pad = nch * CH
+        tnbr_p = np.full((27, t_pad), -1, np.int32)
+        tnbr_p[:, :T] = tile_nbr
+        tnbr_c = jnp.asarray(
+            tnbr_p.reshape(27, nch, CH).transpose(1, 0, 2)
+        )  # [nch, 27, CH]
+
         def tile_step(xr):
             # B1: scatter rows into tile blocks
-            blocks = jnp.zeros((T * vol, ch), xr.dtype).at[slot].set(
+            blocks = jnp.zeros((t_pad * vol, ch), xr.dtype).at[slot].set(
                 xr, mode="drop"
-            ).reshape(T, vol, ch)
-            # B2: halo assembly — gather 27 neighbor tiles
-            safe = jnp.maximum(tnbr, 0)
-            hit = (tnbr >= 0).astype(xr.dtype)
-            nb = blocks[safe] * hit[:, :, None, None]  # [27, T, vol, ch]
-            # pack into dense (tx+2, ty+2, tz+2) halo block
-            halo = _pack_halo(nb, tshape, ch)
-            # B3: dense conv, VALID
-            y = jax.lax.conv_general_dilated(
-                halo,
-                wd,
-                window_strides=(1, 1, 1),
-                padding="VALID",
-                dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
-                preferred_element_type=jnp.float32,
-            ).astype(xr.dtype)
+            ).reshape(t_pad, vol, ch)
+
+            def chunk_fn(tn):
+                # B2: halo assembly — gather 27 neighbor tiles
+                safe = jnp.maximum(tn, 0)
+                hit = (tn >= 0).astype(xr.dtype)
+                nb = blocks[safe] * hit[:, :, None, None]  # [27,CH,vol,ch]
+                halo = _pack_halo(nb, tshape, ch)
+                # B3: dense conv, VALID
+                y = jax.lax.conv_general_dilated(
+                    halo,
+                    wd,
+                    window_strides=(1, 1, 1),
+                    padding="VALID",
+                    dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+                    preferred_element_type=jnp.float32,
+                ).astype(xr.dtype)
+                return y.reshape(CH * vol, ch)
+
+            ys = jax.lax.map(chunk_fn, tnbr_c)  # [nch, CH*vol, ch]
             # B4: gather back to canonical rows
-            return y.reshape(T * vol, ch)[back]
+            return ys.reshape(t_pad * vol, ch)[back]
 
         f_t = jax.jit(tile_step)
         t_t = _timed(f_t, x_rows)
