@@ -105,15 +105,19 @@ def main():
             )
 
         t = {}
+
+        def rec(name, v):
+            t[name] = v
+            print(f"L{lvl} {name}={v:.2f}ms", flush=True)
         # --- full production conv
         f_full = jax.jit(lambda xx: zconv3(
             xx, nbr9, zup, zdn, w27, out_mask=mask, num_batches=BATCH))
-        t["full"] = _timed(f_full, x)
+        rec("full", _timed(f_full, x))
         # --- full, offset scan unrolled
         f_un8 = jax.jit(lambda xx: zconv3(
             xx, nbr9, zup, zdn, w27, out_mask=mask, num_batches=BATCH,
             unroll=8))
-        t["unroll8"] = _timed(f_un8, x)
+        rec("unroll8", _timed(f_un8, x))
 
         # --- gemm only: zcat + u9 projection
         def gemm_only(xx):
@@ -130,7 +134,7 @@ def main():
             return jax.lax.map(per_b, (xs, zus, zds))
 
         f_gemm = jax.jit(gemm_only)
-        t["gemm"] = _timed(f_gemm, x)
+        rec("gemm", _timed(f_gemm, x))
 
         # prebuilt u9 [B, 9, cap, ch] for the gather-side ablations
         u9_pre = jax.block_until_ready(f_gemm(x))
@@ -154,7 +158,7 @@ def main():
 
             return jax.lax.map(per_b, (u9s, nbr_seg))
 
-        t["gathers"] = _timed(jax.jit(gathers_only), u9_pre)
+        rec("gathers", _timed(jax.jit(gathers_only), u9_pre))
 
         # --- per-offset gather + add tree (no stacked g8)
         def gathers_fused(u9s):
@@ -168,7 +172,7 @@ def main():
 
             return jax.lax.map(per_b, (u9s, nbr_seg))
 
-        t["fused"] = _timed(jax.jit(gathers_fused), u9_pre)
+        rec("fused", _timed(jax.jit(gathers_fused), u9_pre))
 
         # --- ONE gather, flattened 8*cap operand (cliff probe)
         flat_idx = nbr_seg + (
@@ -188,7 +192,7 @@ def main():
 
             return jax.lax.map(per_b, (u9s, flat_idx))
 
-        t["onegather"] = _timed(jax.jit(one_gather), u9_pre)
+        rec("onegather", _timed(jax.jit(one_gather), u9_pre))
 
         # --- zcat alone
         def zcat_only(xx):
@@ -196,7 +200,7 @@ def main():
             return jax.lax.map(
                 lambda a: _zcat(a[0], a[1], a[2]), (xs, zus, zds))
 
-        t["zcat"] = _timed(jax.jit(zcat_only), x)
+        rec("zcat", _timed(jax.jit(zcat_only), x))
 
         # --- raw single gather per segment (the descriptor floor)
         idx1 = nbr_seg[:, 0]
@@ -206,7 +210,7 @@ def main():
             return jax.lax.map(
                 lambda a: _local_gather(a[0], a[1], cap), (xs, idx1))
 
-        t["raw1"] = _timed(jax.jit(raw1), x)
+        rec("raw1", _timed(jax.jit(raw1), x))
 
         per_row = t["raw1"] * 1e6 / na
         line = (

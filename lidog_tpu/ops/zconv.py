@@ -156,17 +156,33 @@ def _split_segs(nb, arrs_caps):
 # ---------------------------------------------------------------------------
 
 
+# Operand row count below which a single global gather stays in the XLA
+# fast tier (micro_gather_cliff: ~430-460k; margin below).  Two uses:
+# (a) levels whose WHOLE batch fits under it skip the per-segment
+# lax.map — round-5 ablation (micro_zconvprof) showed small levels are
+# dispatch-overhead-bound, not descriptor-bound (L2 raw1: 24 ns/row);
+# (b) big levels stay segmented so per-segment operands stay under it.
+GATHER_FAST_ROWS = 393_216
+
+
+def _seg_or_global(na: int, nb: int) -> int:
+    """Effective segment count: collapse to one global dispatch when the
+    whole level's operand is under the gather fast-tier cliff."""
+    return 1 if na <= GATHER_FAST_ROWS else nb
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb):
     """x [Na, Cin]; nbr [9, Na]; wf [9, 3*Cin, Cout] (xy lexicographic,
     z taps ordered -1, 0, +1 along the 3*Cin axis).
 
-    Loop shape (profiled, micro_zstep + hlo_stats): NO loop-carried
-    accumulator — a per-offset scan carrying an f32 [cap, C] accumulator
-    re-reads+rewrites it every iteration (HBM-bound convolution_add
-    fusions dominated the step).  Instead: ONE batched GEMM produces all
-    9 offset projections (reads xc once), the scan emits stacked gathers,
-    and a single reduction folds them."""
+    Loop shape (profiled, micro_zstep + micro_zconvprof): NO loop-carried
+    HBM accumulator (a lax.scan carrying an f32 [cap, C] accumulator
+    re-reads+rewrites it every iteration), and NO stacked g8 either — the
+    round-5 ablation measured the unrolled gather->add tree 25-38% faster
+    than scan+stack+sum (XLA fuses each gather into its consuming add;
+    the stack materializes 8x[cap, C] to HBM).  ONE batched GEMM still
+    produces all 9 offset projections (reads xc once)."""
     na, cin = x.shape
     cout = wf.shape[2]
     cap = na // nb
@@ -176,11 +192,6 @@ def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb):
     # 8 gathers + one direct add replace 9 gathers: an exact 1/9 cut of
     # the conv's descriptor wall.
     off8 = [d for d in range(9) if d != 4]
-    xs, zus, zds, nbrs = _split_segs(
-        nb,
-        [(x, cap, "rows"), (zup, cap, "flag"), (zdn, cap, "flag"),
-         (nbr[np.asarray(off8)], cap, "map")],
-    )
 
     def per_b(args):
         xb, zu, zd, ib = args
@@ -188,18 +199,20 @@ def _zconv3_core(x, nbr, zup, zdn, wf, accum_dtype, unroll, nb):
         u9 = jnp.einsum(
             "nc,dck->dnk", xc, wf, preferred_element_type=accum_dtype
         ).astype(xb.dtype)  # [9, cap, cout] — xc read ONCE
+        acc = u9[4].astype(accum_dtype)
+        for j in range(8):
+            acc = acc + _local_gather(
+                u9[off8[j]], ib[j], cap
+            ).astype(accum_dtype)
+        return acc.astype(xb.dtype)
 
-        def body(_, xs_):
-            i, u = xs_
-            return None, _local_gather(u, i, cap)
-
-        _, g8 = jax.lax.scan(body, None, (ib, u9[jnp.asarray(off8)]),
-                             unroll=unroll)
-        return (
-            jnp.sum(g8.astype(accum_dtype), axis=0)
-            + u9[4].astype(accum_dtype)
-        ).astype(xb.dtype)
-
+    if nb == 1:
+        return per_b((x, zup, zdn, nbr[np.asarray(off8)]))
+    xs, zus, zds, nbrs = _split_segs(
+        nb,
+        [(x, cap, "rows"), (zup, cap, "flag"), (zdn, cap, "flag"),
+         (nbr[np.asarray(off8)], cap, "map")],
+    )
     out = jax.lax.map(per_b, (xs, zus, zds, nbrs))
     return out.reshape(na, cout)
 
@@ -229,25 +242,17 @@ def _zconv3_bwd(accum_dtype, unroll, nb, res, dout):
     # Center identity (see _zconv3_core): g9[4] == dout, so the center's
     # dxc/dW terms are direct contractions — 8 gathers instead of 9.
     off8 = [d for d in range(9) if d != 4]
-    xs, zus, zds, nbrs, dos = _split_segs(
-        nb,
-        [(x, cap, "rows"), (zup, cap, "flag"), (zdn, cap, "flag"),
-         (nbr[np.asarray(off8)], cap, "map"), (dout, cap, "rows")],
-    )
     wt8 = wt[jnp.asarray(off8)]
 
     def per_b(args):
         xb, zu, zd, ib, db = args
         xc = _zcat(xb, zu, zd)
-
-        def body(_, i):
-            return None, _local_gather(db, i, cap)
-
-        _, g8 = jax.lax.scan(body, None, ib, unroll=unroll)  # [8, cap, Cout]
-        # Batched contractions instead of a 9-step f32 [cap, 3Cin]
-        # accumulator (profiled HBM killer).  bf16 inputs with f32
-        # preferred_element_type accumulate exactly on the MXU — no f32
-        # materialization of xc.
+        # Unrolled gathers (same shape note as _zconv3_core), but the
+        # dxc/dW contractions stay BATCHED over the stacked g8: the
+        # round-5 A/B (results/r05/bench_zconvtree*.json) measured the
+        # per-offset two-consumer form slower end-to-end — 8 separate
+        # dW einsums re-read xc [cap, 3Cin] once each (~460 MB/level).
+        g8 = jnp.stack([_local_gather(db, ib[j], cap) for j in range(8)])
         dxc = (
             jnp.einsum("dnk,dkc->nc", g8, wt8,
                        preferred_element_type=accum_dtype)
@@ -263,10 +268,20 @@ def _zconv3_bwd(accum_dtype, unroll, nb, res, dout):
         dx = _zcat_t(dxc.astype(xb.dtype), zu, zd)
         return dx, dw8_rev, dw4
 
-    dx_s, dw8_s, dw4_s = jax.lax.map(per_b, (xs, zus, zds, nbrs, dos))
-    dx = dx_s.reshape(na, cin)
-    dw8 = jnp.sum(dw8_s, axis=0)
-    dw4 = jnp.sum(dw4_s, axis=0)
+    if nb == 1:
+        dx, dw8, dw4 = per_b(
+            (x, zup, zdn, nbr[np.asarray(off8)], dout)
+        )
+    else:
+        xs, zus, zds, nbrs, dos = _split_segs(
+            nb,
+            [(x, cap, "rows"), (zup, cap, "flag"), (zdn, cap, "flag"),
+             (nbr[np.asarray(off8)], cap, "map"), (dout, cap, "rows")],
+        )
+        dx_s, dw8_s, dw4_s = jax.lax.map(per_b, (xs, zus, zds, nbrs, dos))
+        dx = dx_s.reshape(na, cin)
+        dw8 = jnp.sum(dw8_s, axis=0)
+        dw4 = jnp.sum(dw4_s, axis=0)
     # Reassemble [9, 3Cin, Cout]: entry j of dw8 holds dW[8 - off8[j]],
     # center holds dW[4] (4 == 8 - 4, self-paired).
     dwf = jnp.concatenate(
@@ -301,6 +316,7 @@ def zconv3(x, nbr9, zup, zdn, weights, *, out_mask=None,
     """
     k, cin, cout = weights.shape
     assert k == 27, "zconv3 is the k=3 hypercube primitive"
+    num_batches = _seg_or_global(x.shape[0], num_batches)
     # [9, 3, Cin, Cout] -> [9, 3*Cin, Cout]; the plan enumerates dz
     # fastest, so axis 1 groups exactly as _zcat's (z-1, z, z+1) taps.
     wf = weights.reshape(9, 3, cin, cout).reshape(9, 3 * cin, cout)
@@ -400,6 +416,7 @@ def zconv_full(x, nbr, weights, *, out_mask=None, accum_dtype=jnp.float32,
     k = weights.shape[0]
     assert nbr.shape[0] == k, (nbr.shape, weights.shape)
     assert k % 2 == 1, "symmetric odd-hypercube maps only (transpose-reuse)"
+    num_batches = _seg_or_global(x.shape[0], num_batches)
     out = _zfull_core(x, nbr, accum_dtype, unroll, num_batches, weights)
     if out_mask is not None:
         out = out * out_mask[:, None].astype(out.dtype)
@@ -514,6 +531,7 @@ def zconv_down(x, nbr8, parent, off_id, weights, *, out_mask=None,
     fastest).  parent/off_id: [Naf] — parent coarse row and fine-in-coarse
     offset id (dx*4 + dy*2 + dz) per fine row.  weights: [8, Cin, Cout].
     """
+    num_batches = _seg_or_global(x.shape[0], num_batches)
     out = _zdown_core(x, nbr8, parent, off_id, accum_dtype, unroll,
                       num_batches, weights)
     if out_mask is not None:
@@ -567,6 +585,9 @@ def zconv_up(x, parent, off_id, nbr8, weights, *, out_mask=None,
     map at this level pair [8, Nac] (used by the backward).
     weights: [8, Cin, Cout], {0, s}^3 enumeration.
     """
+    # the backward's 8-tap gather operand is the FINE dout — size the
+    # segment rule on the larger of the two operands
+    num_batches = _seg_or_global(parent.shape[0], num_batches)
     out = _zup_core(x, parent, off_id, nbr8, accum_dtype, unroll,
                     num_batches, weights)
     if out_mask is not None:
