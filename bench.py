@@ -150,8 +150,6 @@ def main():
     from lidog_tpu.train import TrainState, make_optimizer, make_train_step
     from lidog_tpu.train.device_pipeline import device_batch_from_points
 
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
-
     _phase("data_gen")
     ds = SyntheticLidarDataset(
         num_scans=BATCH, points_per_scan=POINTS, radius=RADIUS, seed=0
@@ -166,20 +164,16 @@ def main():
         "LIDOG_TPU_BENCH_DTYPE", "bfloat16"
     ) == "bfloat16" else jnp.float32
     model = MinkUNet34(in_channels=1, out_channels=7, compute_dtype=dtype)
-    engine = os.environ.get("LIDOG_TPU_ENGINE", "zseg")
     # LIDOG_TPU_SORTLESS=1: skip the voxelize lexsort/unique pass and feed
-    # raw per-point cells to the dedup-tolerant plan (zseg only;
-    # core/zseg.py assume_unique=False — measured lexsort cost ~45 ms/step)
-    sortless = os.environ.get("LIDOG_TPU_SORTLESS") == "1" and engine == "zseg"
-    if engine == "zseg":
-        from lidog_tpu.core.zseg import ZSegPlanBuilder
+    # raw per-point cells to the dedup-tolerant plan (core/zseg.py
+    # assume_unique=False — measured lexsort cost ~45 ms/step)
+    sortless = os.environ.get("LIDOG_TPU_SORTLESS") == "1"
+    from lidog_tpu.core.zseg import ZSegPlanBuilder
 
-        builder = jax.jit(ZSegPlanBuilder(
-            ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024,
-            caps_col_dil=ZCAPS_D, assume_unique=not sortless,
-        ))
-    else:
-        builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
+    builder = jax.jit(ZSegPlanBuilder(
+        ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024,
+        caps_col_dil=ZCAPS_D, assume_unique=not sortless,
+    ))
     if sortless:
         from lidog_tpu.train.device_pipeline import device_batch_raw
 

@@ -57,7 +57,6 @@ def main():
     import numpy as np
 
     from lidog_tpu.core.engine import input_tensor
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
     from lidog_tpu.data.bev import collate_bev, preprocess_scan_bev
     from lidog_tpu.data.synthetic import SyntheticLidarDataset
     from lidog_tpu.losses import DICELoss, SoftDICELoss
@@ -90,15 +89,12 @@ def main():
         in_channels=1, out_channels=7, num_batches=BATCH, voxel_size=VOXEL,
         bound_2d=BOUND, compute_dtype=dtype,
     )
-    if os.environ.get("LIDOG_TPU_ENGINE", "zseg") == "zseg":
-        from lidog_tpu.core.zseg import ZSegPlanBuilder
+    from lidog_tpu.core.zseg import ZSegPlanBuilder
 
-        builder = jax.jit(ZSegPlanBuilder(
-            ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024,
-            caps_col_dil=ZCAPS_D,
-        ))
-    else:
-        builder = BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)
+    builder = jax.jit(ZSegPlanBuilder(
+        ZCAPS_R, ZCAPS_A, num_batches=BATCH, grid_half=1024,
+        caps_col_dil=ZCAPS_D,
+    ))
     plan0 = builder(batch["coords"], batch["mask"])
     import numpy as _np
     assert int(_np.asarray(plan0.overflow).sum()) == 0, (

@@ -38,7 +38,6 @@ def main():
     import numpy as np
 
     from lidog_tpu.core.engine import input_tensor
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
     from lidog_tpu.core.zseg import ZSegPlanBuilder
     from lidog_tpu.data.synthetic import SyntheticLidarDataset
     from lidog_tpu.losses import SoftDICELoss
@@ -79,7 +78,6 @@ def main():
         ("zseg", jax.jit(ZSegPlanBuilder(ZCAPS_R, ZCAPS_A,
                                          num_batches=BATCH, grid_half=1024,
                                          caps_col_dil=ZCAPS_D))),
-        ("gather", BitPlanBuilder(CAPS, num_batches=BATCH, grid_half=1024)),
     ):
         plan = builder(batch["coords"], batch["mask"])
         x0 = input_tensor(plan, batch["feats"])

@@ -59,13 +59,13 @@ def make_zcaps(per_scan: int = DEFAULT_CAPS_PER_SCAN):
 
 def make_plan_builder(config, batch_size: int,
                       per_scan: int = DEFAULT_CAPS_PER_SCAN):
-    """(plan_builder, pooled_caps) honoring LIDOG_TPU_ENGINE:
-    'zseg' (default) — segmented z-fused engine (core.zseg);
-    'gather' — round-2 pooled gather-GEMM engine (core.plan_bitgrid).
+    """(plan_builder, pooled_caps) — the zseg kernel-map engine
+    (core.zseg; the round-2 pooled gather engine was retired in round 5,
+    VERDICT r4 #10 — core.plan's fused generic builder remains for the
+    in-graph parallel path and tests).
 
     Also the cap-safety gate: logs the chosen caps and warns when the BEV
     model is selected with per-scan caps above the measured HBM budget."""
-    engine = os.environ.get("LIDOG_TPU_ENGINE", "zseg")
     gh = int(os.environ.get("LIDOG_TPU_GRID_HALF", "1024"))
     caps = make_caps(batch_size, per_scan)
     model_name = getattr(config.model, "name", "")
@@ -76,28 +76,19 @@ def make_plan_builder(config, batch_size: int,
             f"(<= {BEV_HBM_SAFE_PER_SCAN}); set LIDOG_TPU_CAPS_PER_SCAN or "
             "expect device OOM."
         )
-    if engine == "zseg":
-        from lidog_tpu.core.zseg import ZSegPlanBuilder
+    from lidog_tpu.core.zseg import ZSegPlanBuilder
 
-        caps_r, caps_a, caps_d = make_zcaps(per_scan)
-        print(f"[caps] engine=zseg per-scan real={caps_r} aug={caps_a} "
-              f"col_dil={caps_d}")
-        builder = ZSegPlanBuilder(
-            caps_r, caps_a, num_batches=batch_size, grid_half=gh,
-            caps_col_dil=caps_d,
-            # in_channels > 1: the stem needs source-row feature maps
-            # instead of the constant-feature occupancy matrix
-            # (core.zseg.stem_feat125_packed / ops.zconv_full).
-            stem_feature_map=config.model.in_channels != 1,
-        )
-    else:
-        from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
-
-        print(f"[caps] engine=gather pooled={caps}")
-        builder = BitPlanBuilder(
-            caps, num_batches=batch_size, grid_half=gh,
-            stem_mode="occupancy" if config.model.in_channels == 1 else "map",
-        )
+    caps_r, caps_a, caps_d = make_zcaps(per_scan)
+    print(f"[caps] engine=zseg per-scan real={caps_r} aug={caps_a} "
+          f"col_dil={caps_d}")
+    builder = ZSegPlanBuilder(
+        caps_r, caps_a, num_batches=batch_size, grid_half=gh,
+        caps_col_dil=caps_d,
+        # in_channels > 1: the stem needs source-row feature maps
+        # instead of the constant-feature occupancy matrix
+        # (core.zseg.stem_feat125_packed / ops.zconv_full).
+        stem_feature_map=config.model.in_channels != 1,
+    )
     return builder, caps
 
 

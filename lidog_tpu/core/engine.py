@@ -1,14 +1,14 @@
 """Engine dispatch: one call surface over the two kernel-map engines.
 
 Two plan families coexist:
-  * UNetPlan (core.plan / plan_bitgrid) — round-2 pooled
-    gather-GEMM engine (27-tap maps, `perm` canonicalization);
+  * UNetPlan (core.plan) — fused generic gather-GEMM builder (27-tap
+    maps, `perm` canonicalization); kept for the in-graph parallel path
+    and tests (the staged round-2 pooled engine was retired in round 5);
   * ZPlan (core.zseg) — round-3 segmented z-fused engine (9-tap maps,
-    ghost-augmented levels, scatter canonicalization).
+    ghost-augmented levels, scatter canonicalization) — production.
 
 Models and train steps are engine-agnostic through these helpers; the
-engine is chosen where the plan builder is constructed (cli.common,
-LIDOG_TPU_ENGINE env: 'zseg' default, 'gather' for the round-2 engine).
+engine is chosen where the plan builder is constructed (cli.common).
 """
 
 from __future__ import annotations

@@ -31,7 +31,7 @@ the column-table section below) keeps NO dense 3D volume: per-column
 word rows are scatter-built from coords, coarsened table-to-table, and
 ghost-augmented via 2 x-neighbor fetches + validated slot shifts.
 
-Replaces (same role as core.plan / plan_bitgrid): the
+Replaces (same role as core.plan's generic builder): the
 MinkowskiEngine coordinate manager + kernel-map generation for
 MinkUNet34 (reference utils/models/minkunet.py:26-92).
 """

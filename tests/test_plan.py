@@ -127,70 +127,3 @@ def test_plan_overflow_counter(rng):
     caps = (CAPS[0], 8, 512, 256, 128)  # starve level 1
     p = plan_lib.build_unet_plan(jnp.asarray(coords), jnp.asarray(mask), caps)
     assert int(np.asarray(p.overflow)[1]) > 0
-
-
-
-
-def test_bitgrid_builder_matches_fused(rng):
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
-
-    coords, mask = _make_batched_coords(rng)
-    fused = plan_lib.build_unet_plan(jnp.asarray(coords), jnp.asarray(mask), CAPS)
-    bit = BitPlanBuilder(CAPS, num_batches=2, grid_half=128, stem_mode="map")(
-        jnp.asarray(coords), jnp.asarray(mask)
-    )
-    n0 = int(np.asarray(bit.level(0).mask).sum())
-    # perm agrees on valid slots (padding slots are masked downstream).
-    assert np.array_equal(np.asarray(fused.perm)[:n0], np.asarray(bit.perm)[:n0])
-    for i in range(5):
-        assert np.array_equal(
-            np.asarray(fused.level(i).coords), np.asarray(bit.level(i).coords)
-        ), f"level {i} coords"
-        assert np.array_equal(
-            np.asarray(fused.level(i).mask), np.asarray(bit.level(i).mask)
-        ), f"level {i} mask"
-    for k in fused.kmaps:
-        assert np.array_equal(
-            np.asarray(fused.kmaps[k]), np.asarray(bit.kmaps[k])
-        ), k
-    assert np.array_equal(np.asarray(fused.overflow), np.asarray(bit.overflow))
-
-
-def test_bitgrid_out_of_grid_drops(rng):
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
-
-    coords, mask = _make_batched_coords(rng)
-    coords = coords.copy()
-    far = np.where(mask)[0][:10]
-    coords[far, 1] = 4000  # outside the +-128-cell grid
-    bit = BitPlanBuilder(CAPS, num_batches=2, grid_half=128)(
-        jnp.asarray(coords), jnp.asarray(mask)
-    )
-    assert int(np.asarray(bit.overflow)[0]) == 10
-    n_valid = int(np.asarray(bit.level(0).mask).sum())
-    assert n_valid == int(mask.sum()) - 10
-
-
-def test_occupancy_stem_matches_map_stem(rng):
-    import jax
-
-    from lidog_tpu.core.plan_bitgrid import BitPlanBuilder
-    from lidog_tpu.models import MinkUNet34
-
-    coords, mask = _make_batched_coords(rng)
-    b_map = BitPlanBuilder(CAPS, num_batches=2, grid_half=128, stem_mode="map")
-    b_occ = BitPlanBuilder(CAPS, num_batches=2, grid_half=128, stem_mode="occupancy")
-    p_map = b_map(jnp.asarray(coords), jnp.asarray(mask))
-    p_occ = b_occ(jnp.asarray(coords), jnp.asarray(mask))
-
-    from lidog_tpu.core.plan import input_tensor
-
-    model = MinkUNet34(in_channels=1, out_channels=7)
-    feats = jnp.ones((CAPS[0], 1), jnp.float32)
-    x_map = input_tensor(p_map, feats)
-    variables = model.init(jax.random.PRNGKey(0), x_map, p_map, train=False)
-    out_map = model.apply(variables, x_map, p_map, train=False)
-    out_occ = model.apply(variables, input_tensor(p_occ, feats), p_occ, train=False)
-    np.testing.assert_allclose(
-        np.asarray(out_map), np.asarray(out_occ), rtol=1e-4, atol=1e-4
-    )
