@@ -75,7 +75,11 @@ class Trainer:
         self.run_path = run_dir(save_dir, run_name)
         self.ckpt = CheckpointManager(os.path.join(self.run_path, "checkpoints"))
         self.logger = logger or MetricLogger(self.run_path)
-        self.log_every = log_every_n_steps
+        # Short convergence runs (scripts/convergence_all.py) need curves
+        # denser than the production 50-step cadence.
+        self.log_every = int(
+            os.environ.get("LIDOG_TPU_LOG_EVERY", log_every_n_steps)
+        )
 
         # Multi-device steps arrive pre-wrapped by make_parallel_train_step
         # (already jitted + donated); don't double-wrap.

@@ -28,9 +28,9 @@ run bench_infer_b1   1200 LIDOG_TPU_INFER_BATCH=1 python bench_infer.py
 run bench_infer_b8   1200 LIDOG_TPU_INFER_BATCH=8 python bench_infer.py
 # 4. Plan phase breakdown (plan <=15% of step gate).
 run bench_zphases    1500 python benchmarks/bench_zphases.py
-# 5. Tile-conv A/B decision table (VERDICT r4 #1).
-run micro_tileconv   1500 python benchmarks/micro/micro_tileconv.py
-# 6. Mosaic dynamic_gather re-probe (windowed-DMA conv gate).
-run micro_bisect      900 python benchmarks/micro/micro_bisect.py
+# 5. Serving decomposition (VERDICT r4 #3a: bridge the 120.8->199.8 ms).
+run bench_infer_decomp 1200 python benchmarks/bench_infer_decomp.py
+# 6. Plan-internal phase profile (targets for the plan <=15% cut).
+run micro_zplanprof   1200 python benchmarks/micro/micro_zplanprof.py
 
 echo "=== chain done ($(date +%H:%M:%S)) ===" | tee -a "$OUT/chain.log"

@@ -22,7 +22,7 @@ SCRIPTS = [
     ("bench_lidog.py", True),
     ("bench_infer.py", True),
     (os.path.join("benchmarks", "bench_zphases.py"), False),
-    (os.path.join("benchmarks", "bench_phases.py"), False),
+    (os.path.join("benchmarks", "bench_infer_decomp.py"), True),
 ]
 
 
