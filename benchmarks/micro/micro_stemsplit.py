@@ -174,9 +174,16 @@ def main():
 
         @jax.jit
         def width_fn(tab, idx):
+            # one-hot select of a query-dependent element keeps the row
+            # gather live (a plain row-sum commutes with the gather and
+            # XLA hoists it into a precomputed row-sum table)
             def per_b(args):
                 tb, ib = args
-                return tb[ib].sum(axis=1)
+                rows = tb[ib]
+                el = (ib & (w_ints - 1))[:, None]
+                sel = jax.lax.broadcasted_iota(
+                    jnp.int32, rows.shape, 1) == el
+                return jnp.sum(jnp.where(sel, rows, 0), axis=-1) + rows[:, 0]
             return jax.lax.map(per_b, (tab, idx))
 
         dt = timed(f"width{w_ints}", width_fn, tab, idx)
