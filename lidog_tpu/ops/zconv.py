@@ -91,22 +91,19 @@ def _seg_gather(u, idx, num_batches: int, cap_u: int, cap_out: int):
     Chunked per batch segment via lax.map: keeps each gather operand under
     the ~430k-row fast-tier cliff at any batch size (neighbors never cross
     scan segments, so global rows always land in the caller's segment)."""
-    nchunk = _seg_or_global(u.shape[0], num_batches)
-    if nchunk == 1:
+    if _seg_or_global(u.shape[0], num_batches) == 1:
         return _local_gather(u, idx, u.shape[0])
-    cap_u = (num_batches // nchunk) * cap_u
-    cap_out = (num_batches // nchunk) * cap_out
     c = u.shape[1]
-    u_seg = u.reshape(nchunk, cap_u, c)
-    base = jnp.arange(nchunk, dtype=jnp.int32)[:, None] * cap_u
-    i_seg = idx.reshape(nchunk, cap_out) - base
+    u_seg = u.reshape(num_batches, cap_u, c)
+    base = jnp.arange(num_batches, dtype=jnp.int32)[:, None] * cap_u
+    i_seg = idx.reshape(num_batches, cap_out) - base
 
     def per_b(args):
         ub, ib = args
         return _local_gather(ub, ib, cap_u)
 
     out = jax.lax.map(per_b, (u_seg, i_seg))
-    return out.reshape(nchunk * cap_out, c)
+    return out.reshape(num_batches * cap_out, c)
 
 
 def _zcat(x, zup, zdn):
@@ -169,19 +166,15 @@ GATHER_FAST_ROWS = 393_216
 
 
 def _seg_or_global(na: int, nb: int) -> int:
-    """Effective dispatch count: the FEWEST chunks (a divisor of nb, so
-    per-scan segments never split) whose operand stays under the gather
-    fast-tier cliff.  Chunks may merge adjacent scan segments — safe for
-    the same reason the nb==1 global path is: neighbor maps and z-flags
-    never cross scans, so any contiguous group of whole segments is
-    self-contained.  Cuts lax.map dispatches ~2-4x at batch >= 4 (e.g.
-    serving batch 8 at L0: 8 segments -> 4 chunks of ~278k rows)."""
-    if na <= GATHER_FAST_ROWS:
-        return 1
-    for c in range(2, nb):
-        if nb % c == 0 and na // c <= GATHER_FAST_ROWS:
-            return c
-    return nb
+    """Effective dispatch count: one global dispatch when the whole
+    level's operand is under the gather fast-tier cliff, else fully
+    per-scan segmented.  An intermediate policy (merge adjacent segments
+    into the fewest chunks under the cliff) was measured on chip and
+    FALSIFIED — train 5.366 -> 5.177 scans/s, serve b8 214.1 -> 232.8 ms
+    (results/r05/bench_chunked*.json): the fast tier is not flat, and
+    2x-wider merged operands cost more than the saved lax.map dispatches.
+    Per-scan segments stay the unit above the cliff."""
+    return 1 if na <= GATHER_FAST_ROWS else nb
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

@@ -1,12 +1,13 @@
-"""Chunked segment dispatch (ops.zconv._seg_or_global) equivalence.
+"""Segment-dispatch (ops.zconv._seg_or_global) equivalence.
 
-At batch > 1 the conv primitives group per-scan segments into the FEWEST
-lax.map chunks whose gather operand stays under GATHER_FAST_ROWS (the
-measured ~430k-row fast-tier cliff; see ops/zconv.py).  Merging whole
-segments is semantics-free — neighbor maps and z-flags never cross scans
-— so every chunk count (1, 2, B) must produce bitwise-identical outputs
-and grads.  This pins that for all four conv primitives by sweeping the
-cliff constant so a B=4 plan runs global, 2-chunk, and fully segmented.
+At batch > 1 the conv primitives run one global dispatch when the whole
+level's operand sits under GATHER_FAST_ROWS (the measured ~430k-row
+fast-tier cliff; see ops/zconv.py), else fully per-scan segmented via
+lax.map.  Both regimes must produce identical outputs and grads — this
+pins that for all four conv primitives by sweeping the cliff constant so
+a B=4 plan runs both global and fully segmented.  (An intermediate
+merged-chunk policy was measured on chip and retired — see
+_seg_or_global's docstring.)
 """
 
 import jax
@@ -46,14 +47,14 @@ def built4():
 
 
 def _sweep(monkeypatch, fn):
-    """fn() under cliff values forcing nchunk = 1, 2, 4 at L0 (Na=4096).
+    """fn() under cliff values forcing global vs segmented at L0 (Na=4096).
 
     Outputs and dx are gather/add trees with a chunk-independent
     per-element order (bitwise-equal in practice); dW reduces over rows,
-    whose f32 accumulation order DOES change with chunk shape — allow
+    whose f32 accumulation order DOES change with dispatch shape — allow
     ~1e-5 there."""
     outs = []
-    for cliff, want in ((1 << 30, 1), (2048, 2), (1024, 4), (100, 4)):
+    for cliff, want in ((1 << 30, 1), (2048, 4), (1024, 4), (100, 4)):
         monkeypatch.setattr(zconv_mod, "GATHER_FAST_ROWS", cliff)
         assert zconv_mod._seg_or_global(B * CAPS_A[0], B) == want
         outs.append(jax.tree.map(np.asarray, fn()))
