@@ -25,6 +25,32 @@ ZCAPS_A = (8_192, 6_144, 6_144, 6_144, 6_144)
 ZCAPS_D = (12_288, 12_288, 12_288, 12_288, 12_288)
 
 
+def make_timed(jax, steps: int, time_mod):
+    """Timing helper with a FORCED device-side readback.
+
+    `jax.block_until_ready` through the axon tunnel can return before the
+    device finishes (micro_sortless r5 reported a 232 ms plan build as
+    0.43 ms); a tiny jitted reduce of the first output leaf read back to
+    host is the only trustworthy fence (verify notes; bench_zphases has
+    always done this).  One readback per timed loop: ~1 RTT, amortized."""
+    force = jax.jit(
+        lambda t: jax.tree_util.tree_leaves(t)[0].ravel()[:3].sum()
+    )
+
+    def timed(label, fn, *args):
+        out = fn(*args)
+        float(force(out))
+        t0 = time_mod.perf_counter()
+        for _ in range(steps):
+            out = fn(*args)
+        float(force(out))
+        dt = (time_mod.perf_counter() - t0) / steps * 1000.0
+        print(f"{label:24s} {dt:8.2f} ms", flush=True)
+        return out, round(dt, 2)
+
+    return timed
+
+
 def configure_jax(jax, smoke: bool = None):
     """Platform + compile-cache config for a chain script.
 

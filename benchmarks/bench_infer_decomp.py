@@ -100,16 +100,13 @@ def main():
                      caps_per_scan=PER_SCAN,
                      caps=SMOKE_CAPS if SMOKE else None)
 
+    from _smoke import make_timed
+
+    _timed = make_timed(jax, STEPS, time)
+
     def timed(label, fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / STEPS * 1000.0
-        print(f"{label:10s} {dt:8.2f} ms  ({dt / BATCH:.2f} /scan)",
-              flush=True)
+        out, dt = _timed(label, fn, *args)
+        print(f"{'':24s} ({dt / BATCH:.2f} /scan)", flush=True)
         return dt
 
     r = {}

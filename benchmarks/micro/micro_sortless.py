@@ -67,16 +67,13 @@ def main():
 
     results = {}
 
+    from _smoke import make_timed
+
+    _timed = make_timed(jax, STEPS, time)
+
     def timed(label, fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / STEPS * 1000.0
-        print(f"{label:14s} {dt:8.2f} ms", flush=True)
-        results[label] = round(dt, 2)
+        out, dt = _timed(label, fn, *args)
+        results[label] = dt
         return out
 
     vox_fn = jax.jit(

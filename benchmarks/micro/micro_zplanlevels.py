@@ -76,13 +76,9 @@ def main():
                     grid_half=GRID_HALF, caps_col_dil=ZCAPS_D[:k],
                 )
             )
-            out = builder(coords, mask)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(STEPS):
-                out = builder(coords, mask)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / STEPS * 1000.0
+            from _smoke import make_timed
+            _, dt = make_timed(jax, STEPS, time)(f"prefix_{k}", builder,
+                                                 coords, mask)
             delta = dt - prev
             rows = ZCAPS_A[k - 1] * BATCH
             print(

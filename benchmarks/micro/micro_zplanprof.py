@@ -52,14 +52,9 @@ if SMOKE:
 def _timed(label, fn, *args):
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / STEPS * 1000.0
-    print(f"{label:10s} {dt:8.2f} ms", flush=True)
+    from _smoke import make_timed
+
+    _, dt = make_timed(jax, STEPS, time)(label, fn, *args)
     return dt
 
 

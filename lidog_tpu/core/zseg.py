@@ -38,6 +38,7 @@ MinkUNet34 (reference utils/models/minkunet.py:26-92).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, Tuple
 
@@ -143,6 +144,51 @@ def _grid_lookup(grid_flat, b, gx, gy, ok, g: int, num_batches: int):
     sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1) == el
     v = jnp.sum(jnp.where(sel, rows, 0), axis=-1)
     return jnp.where(ok, v, -1)
+
+
+def _grid_lookup_seg(grid_flat, gx, gy, ok, g: int, num_batches: int):
+    """Segmented _grid_lookup for SEGMENT-ALIGNED queries ([B*cap] with
+    segment k holding only batch k's queries — true for every builder
+    call site: input coords, level coords and column slots all live in
+    fixed per-scan segments).
+
+    Rationale: the global wide-row operand is B*g*g ints (67 MB at B=4
+    L0, 134 MB at B=8) and random-gather cost steps up ~3x past the
+    ~100 MB operand-footprint knee (verify notes round 2; micro_widegrid
+    measured 3.2 ns/q against a ONE-batch table).  lax.map over batches
+    gathers from one [g*g] slice (16.8 MB) per step, staying under the
+    knee at any B.  The grid stores GLOBAL cids, so outputs are
+    unchanged."""
+    nb = num_batches
+    w = min(GRID_ROW_W, g)
+    if nb == 1:
+        b0 = jnp.zeros_like(gx)
+        return _grid_lookup(grid_flat, b0, gx, gy, ok, g, 1)
+    shift = int(np.log2(w))
+    n = gx.shape[0]
+    cap = n // nb
+
+    def per_b(args):
+        gslice, gxb, gyb, okb = args
+        flat = jnp.where(okb, gxb * g + gyb, 0)
+        rows = gslice.reshape(-1, w)[flat >> shift]
+        el = (flat & (w - 1))[:, None]
+        sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == el
+        v = jnp.sum(jnp.where(sel, rows, 0), axis=-1)
+        return jnp.where(okb, v, -1)
+
+    out = jax.lax.map(per_b, (
+        grid_flat.reshape(nb, g * g),
+        gx.reshape(nb, cap), gy.reshape(nb, cap), ok.reshape(nb, cap)))
+    return out.reshape(n)
+
+
+def _lookup(grid_flat, b, gx, gy, ok, g: int, num_batches: int,
+            seg: bool):
+    """Dispatch: segmented per-batch lookup when enabled and aligned."""
+    if seg and num_batches > 1:
+        return _grid_lookup_seg(grid_flat, gx, gy, ok, g, num_batches)
+    return _grid_lookup(grid_flat, b, gx, gy, ok, g, num_batches)
 
 
 
@@ -287,7 +333,8 @@ def _shift_dn(x, adj):
 
 
 def _assemble_aug(real16, col_bxy, col_valid, grid_d,
-                  num_batches: int, g: int, ccap: int, cap_a: int):
+                  num_batches: int, g: int, ccap: int, cap_a: int,
+                  seg_lookup: bool = False):
     """Ghost/aug words per DILATED slot: 2 x-neighbor fetches + y shifts.
 
     ghost = zdil(own) & ~own & OR(9-neighborhood real) — identical to the
@@ -309,8 +356,8 @@ def _assemble_aug(real16, col_bxy, col_valid, grid_d,
     for dx in (-1, 1):
         gxn = gx + dx
         okn = col_valid & (gxn >= 0) & (gxn < g)
-        cidn = _grid_lookup(grid_d, b, jnp.clip(gxn, 0, g - 1), gy, okn,
-                            g, nb)
+        cidn = _lookup(grid_d, b, jnp.clip(gxn, 0, g - 1), gy, okn,
+                       g, nb, seg_lookup)
         nb_or = nb_or | _rows_or_miss(yor3.astype(jnp.int32),
                                       cidn).astype(jnp.uint32)
     aug = own | (_zdil_words(own) & ~own & nb_or)
@@ -779,6 +826,10 @@ class ZSegPlanBuilder:
                 (2 * rp[i] + 1) * self.caps_col[i] for i in range(NUM_LEVELS)
             )
         self.caps_col_dil = tuple(int(c) for c in caps_col_dil)
+        # Segmented grid lookups (per-batch 16.8 MB operand slices instead
+        # of one B*g*g table — see _grid_lookup_seg).  Env-gated pending
+        # the chip A/B (benchmarks/micro/micro_seglookup.py).
+        self.seg_lookup = os.environ.get("LIDOG_TPU_SEG_LOOKUP", "0") == "1"
 
     def __call__(self, coords, mask) -> ZPlan:
         B, gh = self.num_batches, self.grid_half
@@ -837,7 +888,12 @@ class ZSegPlanBuilder:
             # ONE lookup per voxel: an occupied column's whole +-r y-window
             # is dilated and CONTIGUOUS, so slot of (gx, gy+dy) is
             # vox_cid + dy.
-            vox_cid = _grid_lookup(grid_d, bsafe, gxc, gyc, ok, g, B)
+            # L0 input coords are POOLED (collation packs scans
+            # contiguously with one pad tail; the voxelizer emits a
+            # globally sorted array) — only levels > 0 query in the
+            # uniform per-scan segment layout the segmented lookup needs.
+            vox_cid = _lookup(grid_d, bsafe, gxc, gyc, ok, g, B,
+                              self.seg_lookup and i > 0)
             col_bxy = jnp.full((B * ccap_d + 1,), -1, jnp.int32)
             pack0 = _pack_bxy(bsafe, gxc, gyc)
             seg0 = bsafe * ccap_d
@@ -908,9 +964,10 @@ class ZSegPlanBuilder:
                         gxf = 2 * gxC + cx
                         gyf = 2 * gyC + cy
                         okf = col_valid & (gxf < f_g) & (gyf < f_g)
-                        cidf = _grid_lookup(
+                        cidf = _lookup(
                             f_grid, bC, jnp.clip(gxf, 0, f_g - 1),
                             jnp.clip(gyf, 0, f_g - 1), okf, f_g, B,
+                            self.seg_lookup,
                         )
                         acc = acc | _rows_or_miss(
                             f_real16, cidf
@@ -922,7 +979,8 @@ class ZSegPlanBuilder:
                 )
 
             aug16, counts_b = _assemble_aug(
-                real16, col_bxy, col_valid, grid_d, B, g, ccap_d, capA
+                real16, col_bxy, col_valid, grid_d, B, g, ccap_d, capA,
+                seg_lookup=self.seg_lookup,
             )
             # augmented rows dropped to per-segment capacity, plus any
             # voxels lost to dilated-column-cap overflow (duplicated
